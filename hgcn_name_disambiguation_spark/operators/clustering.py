@@ -1,0 +1,140 @@
+"""M3 — transitive clustering via large-star/small-star connected
+components (SURVEY §2.9 G7).
+
+The reference calls ``scipy.sparse.csgraph.connected_components`` on a
+dense per-block matrix (``name_disambiguation.py:83,87,604-605``) —
+impossible beyond ~10^4 rows. Here: the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) expressed as two join+agg rounds per
+iteration over a distributed edge frame. Converges in O(log^2 n)
+rounds; every round is a hash shuffle on node id, lineage truncated by
+``localCheckpoint`` so the plan doesn't grow unboundedly.
+
+Node ids are strings; the component id is the lexicographic MIN node
+(== min pub id), giving stable deterministic cluster ids (SURVEY W2
+note). Because blocking makes components block-local, node ids are
+prefixed with the block key — one CC run covers ALL blocks at once
+(the reference loops names sequentially; we don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+
+_SEP = "\x1f"  # unit separator: never appears in keys
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list (u > v), no self-loops, distinct."""
+    u = F.greatest("src", "dst").alias("u")
+    v = F.least("src", "dst").alias("v")
+    return (
+        edges.select(u, v)
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u (over smaller neighbors N⁻(u)): connect u and all of
+    N⁻(u) to min(N⁻(u))."""
+    directed = edges  # already u > v canonical: v ∈ N⁻(u)
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = directed.join(mins, "u").select(
+        F.col("v").alias("src"), F.col("m").alias("dst")
+    )
+    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return nbr_edges.union(self_edges)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """edges(src,dst) -> (node, component) for every node in any edge.
+
+    component = min node id of the component. Isolated nodes don't
+    appear (caller unions singletons back — see assign_clusters).
+    """
+    cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    cur = cur.localCheckpoint(eager=True)
+
+    for it in range(config.cc_max_iterations):
+        stars = _canon(_large_star(cur))
+        nxt = _canon(_small_star(stars))
+        nxt = nxt.localCheckpoint(eager=True)
+        # Convergence: edge set unchanged (count + order-free hash sum;
+        # decimal to avoid ANSI long overflow).
+        def _sig(df):
+            return df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).first()
+
+        cur_sig = _sig(cur)
+        nxt_sig = _sig(nxt)
+        converged = (cur_sig.n == nxt_sig.n) and (cur_sig.h == nxt_sig.h)
+        cur = nxt
+        if converged:
+            break
+
+    # At fixpoint every edge is (node -> component root).
+    comp = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).dropDuplicates(["node"])
+
+
+def assign_clusters(
+    pubs: DataFrame,
+    matches: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """pubs + match edges -> pubs with ``cluster_id``.
+
+    cluster_id = min pub_id of the connected component (block-scoped);
+    unmatched pubs become singleton clusters of themselves — the
+    reference's P7 empty-block/singleton short-circuit
+    (``name_disambiguation.py:857-860,991-994``) falls out naturally.
+    """
+    node = lambda bk, pid: F.concat_ws(_SEP, bk, pid)  # noqa: E731
+    edge_nodes = matches.select(
+        node(F.col("block_key"), F.col("id_a")).alias("src"),
+        node(F.col("block_key"), F.col("id_b")).alias("dst"),
+    )
+    comp = connected_components(edge_nodes, config=config)
+
+    keyed = pubs.withColumn("_node", node(F.col("block_key"), F.col("pub_id")))
+    out = (
+        keyed.join(comp, keyed["_node"] == comp["node"], "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(
+                F.split_part(F.col("component"), F.lit(_SEP), F.lit(2)),
+                F.col("pub_id"),
+            ),
+        )
+        .drop("node", "component", "_node")
+    )
+    return out

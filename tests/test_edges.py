@@ -1,0 +1,99 @@
+"""Unit tests for edge builders J1-J4 against tiny golden inputs
+(SURVEY §5.1, mirroring experimental-results/authors/*_authorlist.txt
+style fixtures)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgcn_name_disambiguation_spark.config import PipelineConfig
+from hgcn_name_disambiguation_spark.fixtures.generator import REPO_FILES_SCHEMA
+from hgcn_name_disambiguation_spark.operators.candidate_pairs import (
+    coauthor_edges,
+    combined_edges,
+    title_edges,
+    venue_edges,
+)
+from hgcn_name_disambiguation_spark.operators.parse import parse_publications
+
+
+def _mk(spark, records):
+    rows = []
+    for r in records:
+        content = json.dumps(r, sort_keys=True, separators=(",", ":"))
+        rows.append(
+            {
+                "repo": f"block-{r['block']}",
+                "path": f"pubs/{r['pub_id']}.json",
+                "commit": "0" * 40,
+                "lang": "json",
+                "content": content,
+            }
+        )
+    return spark.createDataFrame(rows, REPO_FILES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_pubs(spark):
+    records = [
+        # p1,p2 share coauthor "bob roy" + venue kdd + >=2 title stems
+        {"block": "ann lee", "pub_id": "p1", "title": "quantum graphene lattice models",
+         "year": 2001, "authors": ["ann lee", "bob roy"], "venue": "kdd",
+         "org": "null", "label": 0},
+        {"block": "ann lee", "pub_id": "p2", "title": "quantum graphene transport",
+         "year": 2002, "authors": ["ann lee", "bob roy", "cai wu"], "venue": "kdd",
+         "org": "null", "label": 0},
+        # p3 different entity: no coauthors/venue/title shared
+        {"block": "ann lee", "pub_id": "p3", "title": "enzyme catalysis pathways",
+         "year": 2003, "authors": ["ann lee", "dan po"], "venue": "jacs",
+         "org": "null", "label": 1},
+        # other block must not pair with ann lee rows
+        {"block": "jim gray", "pub_id": "p4", "title": "quantum graphene lattice",
+         "year": 2001, "authors": ["jim gray", "bob roy"], "venue": "kdd",
+         "org": "null", "label": 0},
+    ]
+    return parse_publications(_mk(spark, records)).cache()
+
+
+def test_coauthor_edges(tiny_pubs):
+    rows = coauthor_edges(tiny_pubs).collect()
+    got = {(r.block_key, r.id_a, r.id_b): r.w_coauthor for r in rows}
+    # only p1-p2 share coauthor bob roy (focal author excluded; cross-block
+    # bob roy must NOT pair p1/p2 with p4)
+    assert got == {("ann lee", "p1", "p2"): 1.0}
+
+
+def test_venue_edges(tiny_pubs):
+    rows = venue_edges(tiny_pubs).collect()
+    got = {(r.block_key, r.id_a, r.id_b): r.w_venue for r in rows}
+    assert got == {("ann lee", "p1", "p2"): 1.0}
+
+
+def test_title_edges_min_overlap(tiny_pubs):
+    rows = title_edges(tiny_pubs).collect()
+    got = {(r.block_key, r.id_a, r.id_b): r.w_title for r in rows}
+    # p1-p2 share {quantum, graphene} -> weight 2; p3 shares nothing >=2
+    assert got == {("ann lee", "p1", "p2"): 2.0}
+
+
+def test_combined_edges_fuses_relations(tiny_pubs):
+    rows = combined_edges(tiny_pubs).collect()
+    got = {(r.block_key, r.id_a, r.id_b): (r.w_coauthor, r.w_title, r.w_venue)
+           for r in rows}
+    assert got[("ann lee", "p1", "p2")] == (1.0, 2.0, 1.0)
+    assert len(got) == 1
+
+
+def test_hot_key_cap(spark):
+    # 6 pubs all sharing one venue; cap at 5 -> no venue pairs emitted.
+    records = [
+        {"block": "ann lee", "pub_id": f"q{i}", "title": f"topic{i} words here",
+         "year": 2000, "authors": ["ann lee"], "venue": "mega",
+         "org": "null", "label": 0}
+        for i in range(6)
+    ]
+    pubs = parse_publications(_mk(spark, records))
+    cfg = PipelineConfig(max_venue_df_per_block=5)
+    assert venue_edges(pubs, cfg).count() == 0
+    assert venue_edges(pubs).count() == 15  # C(6,2) without cap
