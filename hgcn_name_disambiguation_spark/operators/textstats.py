@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built-in `pyspark.sql.functions` — JVM-side, codegen'd, no Python
+in the hot path. Each op mirrors what a large-scale corpus pipeline
+needs: token counting, quality scoring, language-ID heuristic,
+document fingerprinting. Deterministic, so each has an exact ANSI-SQL
+oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F  # noqa: F401
+
+# Tiny per-language marker-word lists for the n-gram/stopword-hit
+# language-ID heuristic (public common-word lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de0", "shi4", "le0", "zai4", "he2"),  # pinyin-ish markers
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols —
+# approximates a byte-pair pre-tokenizer's word-boundary splits.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features + a composite [0,1] score.
+
+    The score formula is arbitrary-but-deterministic: monotone in
+    stopword ratio and word count, penalized by punctuation density —
+    the standard heuristic-filter shape (cf. C4/Gopher rules).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "and", "of", "a", "to", "is", "in"))
+    )
+    mean_wlen = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+        + F.least(F.lit(1.0), stop_hits / F.greatest(n_words, F.lit(1)) * 5.0) * 0.4
+        + (1.0 - F.least(F.lit(1.0), n_punct / F.greatest(n_chars, F.lit(1)) * 10.0)) * 0.2,
+        6,
+    )
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Marker-word-hit language ID: argmax of per-language hit counts,
+    deterministic tiebreak by language code, 'und' when no hits.
+
+    Expressed as a pure column expression (struct-max idiom) so it
+    stays in codegen; the same logic is a CASE/GREATEST chain in SQL.
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    langs = sorted(LANG_MARKERS)  # ascending; rank descends so that
+    # greatest() tiebreaks to the lexicographically smallest language.
+    def _hits(markers: tuple[str, ...]) -> Column:
+        # one-arg lambda only: a second (default) arg would make
+        # F.filter treat it as the (element, index) variant.
+        def pred(w):
+            return w.isin(*markers)
+
+        return F.size(F.filter(words, pred))
+
+    scored = [
+        F.struct(
+            _hits(LANG_MARKERS[lang]).alias("hits"),
+            F.lit(len(langs) - i).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit rolling document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text — stable under reflow.
+    (The 'rolling hash' for shingles lives in dedup.shingles.)"""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)
