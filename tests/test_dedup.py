@@ -1,0 +1,133 @@
+"""Dedup operator tests with brute-force oracles (SURVEY §5.1 model)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgcn_name_disambiguation_spark.operators.dedup import (
+    dedup_clusters,
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_index,
+    simhash_pairs,
+    simhash_table,
+)
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " today"),  # near dup
+        (3, "a completely different sentence about spark shuffles and joins"),
+        (4, "a completely different sentence about spark shuffles and aggs"),
+        (5, "singleton text with unique vocabulary entirely its own zone"),
+        (6, "The  Quick  Brown Fox jumps over the lazy dog near the river bank"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _brute_jaccard(rows, n=3):
+    def sh(t):
+        w = " ".join(t.lower().split()).split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union:
+            out[(a, b)] = inter / union
+    return out
+
+
+def test_exact_duplicates(spark):
+    groups = exact_duplicates(_corpus(spark)).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    # 0, 1 byte-identical; 6 identical after whitespace/case normalize
+    assert g.member_ids == [0, 1, 6] and g.keeper_id == 0 and g.n_dups == 3
+
+
+def test_shingle_index_matches_bruteforce(spark):
+    rows = [(r.doc_id, r.text) for r in _corpus(spark).collect()]
+    got = shingle_index(_corpus(spark)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {
+        i: {
+            " ".join(" ".join(t.lower().split()).split(" ")[j : j + 3])
+            for j in range(len(t.split()) - 2)
+        }
+        for i, t in rows
+    }
+    assert by_doc == want
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    rows = [(r.doc_id, r.text) for r in _corpus(spark).collect()]
+    want = {
+        p: round(v, 6) for p, v in _brute_jaccard(rows).items() if v >= 0.3
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.3).collect()
+    }
+    assert got == pytest.approx(want)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    # exact dups must collide with est ~1.0
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 6)] == 1.0
+    # near dup (jaccard ~0.8) found
+    assert (0, 2) in pairs
+    # singleton never pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_hamming_properties(spark):
+    sims = {r.doc_id: r.sim for r in simhash_table(_corpus(spark)).collect()}
+    assert sims[0] == sims[1] == sims[6]  # identical after normalize
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sims[0], sims[2]) <= 8  # near dup, few bits differ
+    assert ham(sims[0], sims[5]) > 8  # unrelated, many bits differ
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(_corpus(spark), max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and (0, 6) in pairs and (1, 6) in pairs
+
+
+def test_embedding_neardup_and_clusters(spark):
+    import math
+
+    vecs = []
+    # cluster A: 3 near-identical vectors; cluster B: 2; plus noise
+    for i, base in [(0, 0.0), (1, 0.01), (2, -0.01)]:
+        vecs.append((i, [math.cos(base + j * 0.1) for j in range(8)]))
+    for i, base in [(10, 2.0), (11, 2.02)]:
+        vecs.append((i, [math.cos(base + j * 0.37) for j in range(8)]))
+    vecs.append((20, [float(j % 2) * 2 - 1 for j in range(8)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    pairs = embedding_neardup_pairs(df, threshold=0.99, num_planes=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= got
+    assert not any(20 in p for p in got)
+
+    clusters = {
+        r.doc_id: r.group_id for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters["0"] == clusters["1"] == clusters["2"] == "0"
+    assert clusters["10"] == clusters["11"] == "10"

@@ -1,0 +1,82 @@
+"""Similarity-search tests: LSH/IVF recall vs the exact brute force."""
+
+import math
+
+import pytest
+
+from hgcn_name_disambiguation_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 80 vectors on a smooth curve: neighbors are deterministic
+    rows = [
+        (i, [math.cos(0.08 * i + 0.5 * j) for j in range(16)]) for i in range(80)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    from pyspark.sql import functions as F
+
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _brute_oracle(emb_rows, query_rows, k):
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return num / den
+
+    out = {}
+    for qid, qv in query_rows:
+        scored = sorted(
+            ((round(cos(qv, cv), 6), nid) for nid, cv in emb_rows),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [nid for _, nid in scored[:k]]
+    return out
+
+
+def test_brute_force_matches_python_oracle(spark, emb, queries):
+    erows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    qrows = [(r.query_id, r.embedding) for r in queries.collect()]
+    want = _brute_oracle(erows, qrows, 5)
+    got = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.nbr_id))
+    got = {q: [n for _, n in sorted(v)] for q, v in got.items()}
+    assert got == want
+
+
+def test_lsh_recall_against_exact(spark, emb, queries):
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in lsh_topk(emb, queries, k=5, num_tables=6, num_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_ivf_recall_against_exact(spark, emb, queries):
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in ivf_topk(emb, queries, k=5, num_cells=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
