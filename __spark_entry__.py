@@ -41,8 +41,8 @@ from hgcn_name_disambiguation_spark.operators.scoring import (
     threshold_matches,
 )
 from hgcn_name_disambiguation_spark.operators.similarity import (
+    allpairs_cosine_blocked,
     brute_force_topk,
-    cosine_rescore_udf,
     ivf_topk,
     lsh_topk,
 )
@@ -404,21 +404,16 @@ WHERE jaccard >= 0.5
 
 
 def q15_emb_neardup_exact(spark, sf):
-    """Exact all-pairs cosine filter; the dot products run in the
-    Arrow-batched numpy kernel (cosine_rescore_udf) — ~25x the
-    per-element HOF path on 64-dim vectors."""
+    """Exact all-pairs cosine filter via the blocked GEMM self-join
+    (allpairs_cosine_blocked): rows hash into B blocks, each of the
+    B(B+1)/2 block-pair tasks runs ONE dense numpy matmul — the
+    distributed form of the reference's dense sim matrix."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(cosine_rescore_udf(F.col("a.emb"), F.col("b.emb")), 4).alias(
-            "cos_sim"
-        ),
+    return allpairs_cosine_blocked(
+        e, id_col="vec_id", vec_col="emb", threshold=0.30, num_blocks=8, round_to=4
     )
-    return pairs.where(F.col("cos_sim") >= 0.30)
 
 
 Q15_SQL = """

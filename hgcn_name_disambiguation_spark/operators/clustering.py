@@ -79,22 +79,23 @@ def connected_components(
     cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     cur = cur.localCheckpoint(eager=True)
 
+    # Convergence: edge set unchanged (count + order-free hash sum;
+    # decimal to avoid ANSI long overflow). The previous round's nxt
+    # signature IS this round's cur signature — compute each once.
+    def _sig(df):
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    cur_sig = _sig(cur)
     for it in range(config.cc_max_iterations):
         stars = _canon(_large_star(cur))
         nxt = _canon(_small_star(stars))
         nxt = nxt.localCheckpoint(eager=True)
-        # Convergence: edge set unchanged (count + order-free hash sum;
-        # decimal to avoid ANSI long overflow).
-        def _sig(df):
-            return df.select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            ).first()
-
-        cur_sig = _sig(cur)
         nxt_sig = _sig(nxt)
         converged = (cur_sig.n == nxt_sig.n) and (cur_sig.h == nxt_sig.h)
-        cur = nxt
+        cur, cur_sig = nxt, nxt_sig
         if converged:
             break
 

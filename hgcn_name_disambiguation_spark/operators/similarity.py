@@ -53,6 +53,94 @@ def cosine_rescore_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def allpairs_cosine_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_blocks: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via block-matrix self-join.
+
+    The scalable form of the O(n^2) similarity scan (reference's dense
+    sim matrix, ``name_disambiguation.py:579-592`` — single machine,
+    dense N x N): partition rows into B deterministic hash blocks, emit
+    each row to the B block-pair groups it participates in, and let
+    each group compute ONE dense GEMM over Arrow-delivered numpy
+    matrices (``applyInPandas``). Work per task is an (n/B)^2 matmul —
+    BLAS-speed, bounded memory; replication factor is B (choose
+    B ~ sqrt(cluster cores) so n^2 total work spreads over B(B+1)/2
+    tasks). No pair ever crosses the wire individually: only the final
+    >= threshold survivors are emitted.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b. ``round_to`` rounds
+    BEFORE thresholding (oracle-comparable semantics).
+    """
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    B = num_blocks
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
+        .cast("int")
+        .alias("_blk"),
+    )
+    groups = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least("_blk", F.lit(o)).alias("gi"),
+                    F.greatest("_blk", F.lit(o)).alias("gj"),
+                )
+                for o in range(B)
+            ]
+        )
+    )
+    expanded = rows.select(
+        "_id", "_vec", "_blk", F.explode(groups).alias("g")
+    ).select("_id", "_vec", "_blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+
+    def score(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        V = np.stack(pdf["_vec"].values)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        ids = pdf["_id"].values
+        blk = pdf["_blk"].values
+        if gi == gj:
+            S = Vn @ Vn.T
+            if round_to is not None:
+                S = np.round(S, round_to)
+            mask = np.triu(S >= threshold, k=1)
+            ii, jj = np.nonzero(mask)
+            ia, ib, cs = ids[ii], ids[jj], S[ii, jj]
+        else:
+            left = blk == gi
+            right = blk == gj
+            S = Vn[left] @ Vn[right].T
+            if round_to is not None:
+                S = np.round(S, round_to)
+            ii, jj = np.nonzero(S >= threshold)
+            ia, ib, cs = ids[left][ii], ids[right][jj], S[ii, jj]
+        swap = ia > ib
+        lo = np.where(swap, ib, ia)
+        hi = np.where(swap, ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cs})
+
+    return expanded.groupBy("gi", "gj").applyInPandas(score, out_schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

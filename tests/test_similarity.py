@@ -5,6 +5,7 @@ import math
 import pytest
 
 from hgcn_name_disambiguation_spark.operators.similarity import (
+    allpairs_cosine_blocked,
     brute_force_topk,
     ivf_topk,
     lsh_topk,
@@ -67,6 +68,32 @@ def test_lsh_recall_against_exact(spark, emb, queries):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_allpairs_blocked_matches_python_oracle(spark, emb):
+    """Blocked GEMM all-pairs == naive python all-pairs, any block count."""
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return num / den
+
+    erows = [(r.vec_id, r.embedding) for r in emb.collect()]
+    want = {
+        (ia, ib): round(cos(va, vb), 4)
+        for i, (ia, va) in enumerate(erows)
+        for ib, vb in erows[i + 1:]
+        if round(cos(va, vb), 4) >= 0.5
+    }
+    for nb in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in allpairs_cosine_blocked(
+                emb, threshold=0.5, num_blocks=nb, round_to=4
+            ).collect()
+        }
+        assert set(got) == set(want), f"num_blocks={nb}"
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want), f"num_blocks={nb}"
 
 
 def test_ivf_recall_against_exact(spark, emb, queries):
