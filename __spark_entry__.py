@@ -36,6 +36,11 @@ from hgcn_name_disambiguation_spark.operators.multimodal import (
     fake_media_table,
     sample_video_frames,
 )
+from hgcn_name_disambiguation_spark.operators.report import (
+    clusters_report,
+    majority_vote_assignment,
+    with_singleton_topup,
+)
 from hgcn_name_disambiguation_spark.operators.scoring import (
     fuse_scores,
     threshold_matches,
@@ -544,6 +549,115 @@ def q24_video_frames(spark, sf):
     return sample_video_frames(media, every_ms=1000)
 
 
+def _docs_clustered(spark, sf, mod: int) -> DataFrame:
+    """documents mapped onto the report operators' input shape with a
+    deterministic synthetic clustering (doc_id % mod) so the exact
+    window/anti-join semantics are SQL-checkable."""
+    return _t(spark, sf, "documents").select(
+        F.col("lang").alias("block_key"),
+        F.col("source").alias("label"),
+        (F.col("doc_id") % mod).cast("string").alias("cluster_id"),
+        F.col("doc_id").cast("string").alias("pub_id"),
+    )
+
+
+def q25_majority_assignment(spark, sf):
+    """A6/W1: majority-vote + greedy unique ID->cluster assignment
+    (reference name_disambiguation.py:205-226,703-723), deterministic
+    (count DESC, cluster ASC) tiebreak."""
+    return majority_vote_assignment(_docs_clustered(spark, sf, 10)).select(
+        "block_key", "author_id", "cluster_id", F.col("n").cast("long").alias("n")
+    )
+
+
+Q25_SQL = """
+SELECT block_key, author_id, cluster_id, n FROM (
+  SELECT lang AS block_key, source AS author_id,
+         CAST(doc_id % 10 AS VARCHAR) AS cluster_id,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY COUNT(*) DESC,
+                                     CAST(doc_id % 10 AS VARCHAR) ASC) AS rnk
+  FROM documents GROUP BY lang, source, CAST(doc_id % 10 AS VARCHAR))
+WHERE rnk = 1
+"""
+
+
+def q26_cluster_report(spark, sf):
+    """W2/S8: dense per-block cluster re-indexing + sorted member
+    roster (reference name_disambiguation.py:229-239,737-744)."""
+    rep = clusters_report(_docs_clustered(spark, sf, 5))
+    return rep.select(
+        "block_key",
+        "cluster_id",
+        F.array_join("member_ids", ",").alias("members"),
+        F.size("member_ids").cast("long").alias("n_members"),
+    )
+
+
+Q26_SQL = """
+WITH base AS (
+  SELECT lang AS block_key, CAST(doc_id % 5 AS VARCHAR) AS cid,
+         CAST(doc_id AS VARCHAR) AS pub_id
+  FROM documents),
+sizes AS (
+  SELECT block_key, cid, COUNT(*) AS sz FROM base GROUP BY block_key, cid),
+dense AS (
+  SELECT block_key, cid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY block_key
+                                 ORDER BY sz DESC, cid ASC) - 1 AS VARCHAR)
+           AS cluster_id
+  FROM sizes)
+SELECT b.block_key, d.cluster_id,
+       STRING_AGG(DISTINCT b.pub_id, ',' ORDER BY b.pub_id) AS members,
+       COUNT(DISTINCT b.pub_id) AS n_members
+FROM base b JOIN dense d ON b.block_key = d.block_key AND b.cid = d.cid
+GROUP BY b.block_key, d.cluster_id
+"""
+
+
+def q27_singleton_topup(spark, sf):
+    """A7: truth IDs with no assigned cluster get fresh singleton
+    clusters (reference name_disambiguation.py:726-734). Assignment is
+    computed on a subset (doc_id % 13 == 0) so many IDs are genuinely
+    missing; all_ids comes from the full table."""
+    docs = _docs_clustered(spark, sf, 10)
+    assignment = majority_vote_assignment(
+        docs.where(F.col("pub_id").cast("long") % 13 == 0)
+    ).withColumn("cluster_id", F.col("cluster_id").cast("string"))
+    all_ids = docs.select(
+        "block_key", F.col("label").alias("author_id")
+    ).distinct()
+    return with_singleton_topup(assignment, all_ids).select(
+        "block_key", "author_id", "cluster_id", F.col("n").cast("long").alias("n")
+    )
+
+
+Q27_SQL = """
+WITH assigned AS (
+  SELECT block_key, author_id, cluster_id, n FROM (
+    SELECT lang AS block_key, source AS author_id,
+           CAST(doc_id % 10 AS VARCHAR) AS cluster_id,
+           COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY lang, source
+                              ORDER BY COUNT(*) DESC,
+                                       CAST(doc_id % 10 AS VARCHAR) ASC) AS rnk
+    FROM documents WHERE doc_id % 13 = 0
+    GROUP BY lang, source, CAST(doc_id % 10 AS VARCHAR))
+  WHERE rnk = 1),
+all_ids AS (SELECT DISTINCT lang AS block_key, source AS author_id
+            FROM documents)
+SELECT block_key, author_id, cluster_id, n FROM assigned
+UNION ALL
+SELECT a.block_key, a.author_id,
+       'singleton-' || a.author_id AS cluster_id, 0 AS n
+FROM all_ids a
+WHERE NOT EXISTS (SELECT 1 FROM assigned s
+                  WHERE s.block_key = a.block_key
+                    AND s.author_id = a.author_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -570,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_knn_ivf": q22_knn_ivf,
         "q23_media_features": q23_media_features,
         "q24_video_frames": q24_video_frames,
+        "q25_majority_assignment": q25_majority_assignment,
+        "q26_cluster_report": q26_cluster_report,
+        "q27_singleton_topup": q27_singleton_topup,
     }
 
 
@@ -594,4 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_er_metrics": Q17_SQL,
         # q18-q24: iterative CC / seeded-LSH / mapInPandas media ops —
         # rows-only checks by design.
+        "q25_majority_assignment": Q25_SQL,
+        "q26_cluster_report": Q26_SQL,
+        "q27_singleton_topup": Q27_SQL,
     }

@@ -192,3 +192,51 @@ def repo_files_dataframe(
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+def repo_files_dataframe_distributed(
+    spark: SparkSession,
+    seed: int = 42,
+    blocks: int = 12000,
+    pubs_per_block: int = 60,
+    skew_factor: int = 6,
+    decoy_rows: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side fixture generation for bench-scale inputs.
+
+    The driver ships only block indices; each task synthesizes its
+    blocks' rows (deterministic per-block rng: ``(seed<<20) ^ b``), so
+    generation scales with the cluster instead of OOMing the driver.
+    Index ``blocks`` is the skewed mega-block, ``blocks+1`` the decoys.
+    """
+    num_partitions = num_partitions or max(64, blocks // 100)
+    names = list(_BLOCK_NAMES)
+    ppb = pubs_per_block
+
+    def gen_block(b: int) -> list[dict]:
+        rng = random.Random((seed << 20) ^ b)
+        if b == blocks:
+            return _make_block(rng, _SKEW_BLOCK, 12, ppb * skew_factor, seed)
+        if b == blocks + 1:
+            return [
+                {
+                    "repo": "block-decoy",
+                    "path": f"notes/readme{d}.txt",
+                    "commit": _commit_hex(seed, f"decoy{d}"),
+                    "lang": "txt",
+                    "content": f"not a publication record {d}",
+                }
+                for d in range(decoy_rows)
+            ]
+        name = names[b % len(names)]
+        block_key = name if b < len(names) else f"{name} {b}"
+        n_entities = 1 + rng.randrange(6)
+        return _make_block(rng, block_key, n_entities, ppb, seed)
+
+    rdd = (
+        spark.sparkContext.parallelize(range(blocks + 2), num_partitions)
+        .flatMap(gen_block)
+        .map(lambda d: (d["repo"], d["path"], d["commit"], d["lang"], d["content"]))
+    )
+    return spark.createDataFrame(rdd, schema=REPO_FILES_SCHEMA)
