@@ -1,0 +1,235 @@
+"""M7 — per-block GHAC parity annex (SURVEY §2.9 G8-G9, §7.2 M7).
+
+The reference's clustering core (``name_disambiguation.py:61-108``,
+OpenAlex mode ``:579-687``) is, per block:
+
+  sim(i,j) = sigmoid(e_i . e_j) masked to combined-graph edges
+  distance = -sim
+  AgglomerativeClustering(linkage='average', affinity='precomputed', k)
+  k given by ground truth (standard mode, ``:1229-1233``) or searched
+  over [max(2, CC(sim>0.9)), CC(sim>0)] maximizing Louvain modularity
+  (``:597-687``).
+
+This module reproduces that *inside one Spark task per block* via a
+cogrouped ``applyInPandas`` (pubs x scored-pairs cogroup): the primary
+path of the engine remains threshold + distributed connected
+components (operators.clustering); GHAC is the parity/fallback path
+for blocks where exact reference-cluster behavior at fixed k is
+demanded. sklearn/scipy are not in this container, so average-linkage
+HAC and Newman modularity are implemented directly in NumPy
+(Lance-Williams update; published formulas — no reference code).
+
+Scale stance: dense per-block matrices are the reference's own
+single-machine ceiling (``GCN.py:109-116`` OOMs at ~10^4 pubs); here
+they are allowed ONLY under ``max_block_for_dense`` — bigger blocks
+emit no HAC labels and the caller falls back to the distributed CC
+clusters. At 10^12 rows this keeps the dense path bounded to the long
+tail of small blocks while mega-blocks stay on the linear-memory path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+GHAC_SCHEMA = T.StructType(
+    [
+        T.StructField("block_key", T.StringType()),
+        T.StructField("pub_id", T.StringType()),
+        T.StructField("hac_cluster", T.IntegerType()),
+        T.StructField("k_used", T.IntegerType()),
+        T.StructField("method", T.StringType()),
+    ]
+)
+
+
+def _average_linkage(dist: np.ndarray, k: int) -> np.ndarray:
+    """Average-linkage agglomerative clustering on a precomputed
+    distance matrix, stopping at k clusters (Lance-Williams average
+    update). Returns int labels 0..k-1. O(n^3) worst case — callers
+    cap n via max_block_for_dense."""
+    n = dist.shape[0]
+    if k >= n:
+        return np.arange(n)
+    d = dist.astype(np.float64).copy()
+    np.fill_diagonal(d, np.inf)
+    sizes = np.ones(n)
+    active = np.ones(n, dtype=bool)
+    # members[i] = list of original points in cluster i
+    members: list[list[int]] = [[i] for i in range(n)]
+    for _ in range(n - k):
+        masked = np.where(active[:, None] & active[None, :], d, np.inf)
+        a, b = np.unravel_index(np.argmin(masked), masked.shape)
+        if a > b:
+            a, b = b, a
+        # average-linkage update into a; deactivate b
+        na, nb = sizes[a], sizes[b]
+        new_row = (na * d[a, :] + nb * d[b, :]) / (na + nb)
+        d[a, :] = new_row
+        d[:, a] = new_row
+        d[a, a] = np.inf
+        d[b, :] = np.inf
+        d[:, b] = np.inf
+        sizes[a] = na + nb
+        active[b] = False
+        members[a].extend(members[b])
+        members[b] = []
+    labels = np.empty(n, dtype=np.int64)
+    lbl = 0
+    for i in range(n):
+        if active[i]:
+            for p in members[i]:
+                labels[p] = lbl
+            lbl += 1
+    return labels
+
+
+def _modularity(adj: np.ndarray, labels: np.ndarray) -> float:
+    """Newman modularity Q = (1/2m) sum_ij [A_ij - k_i k_j / 2m]
+    delta(c_i, c_j) on a weighted undirected graph."""
+    two_m = adj.sum()
+    if two_m == 0:
+        return 0.0
+    deg = adj.sum(axis=1)
+    q = 0.0
+    for c in np.unique(labels):
+        idx = labels == c
+        q += adj[np.ix_(idx, idx)].sum() / two_m
+        q -= (deg[idx].sum() / two_m) ** 2
+    return float(q)
+
+
+def _components(adj_bool: np.ndarray) -> int:
+    """Number of connected components of a boolean adjacency (BFS)."""
+    n = adj_bool.shape[0]
+    seen = np.zeros(n, dtype=bool)
+    n_comp = 0
+    for s in range(n):
+        if seen[s]:
+            continue
+        n_comp += 1
+        frontier = np.zeros(n, dtype=bool)
+        frontier[s] = True
+        seen[s] = True
+        while frontier.any():
+            nxt = (adj_bool[frontier].any(axis=0)) & ~seen
+            seen |= nxt
+            frontier = nxt
+    return n_comp
+
+
+def _ghac_block(
+    pubs_pdf: pd.DataFrame,
+    pairs_pdf: pd.DataFrame,
+    k: int | None,
+    tau: float,
+    max_n: int,
+) -> pd.DataFrame:
+    block = (
+        pubs_pdf["block_key"].iloc[0]
+        if len(pubs_pdf)
+        else pairs_pdf["block_key"].iloc[0]
+    )
+    ids = sorted(pubs_pdf["pub_id"].tolist())
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame(columns=[f.name for f in GHAC_SCHEMA.fields])
+    if n == 1 or n > max_n:
+        method = "singleton" if n == 1 else "too-large-fallback"
+        return pd.DataFrame(
+            {
+                "block_key": block,
+                "pub_id": ids,
+                "hac_cluster": (
+                    np.zeros(n, dtype=np.int32) if n == 1 else np.full(n, -1, np.int32)
+                ),
+                "k_used": np.int32(1 if n == 1 else -1),
+                "method": method,
+            }
+        )
+    pos = {p: i for i, p in enumerate(ids)}
+    sim = np.zeros((n, n))
+    for ia, ib, s in zip(
+        pairs_pdf["id_a"], pairs_pdf["id_b"], pairs_pdf["score"]
+    ):
+        a, b = pos.get(ia), pos.get(ib)
+        if a is None or b is None:
+            continue
+        sim[a, b] = sim[b, a] = float(s)
+
+    if k is None:
+        # reference k-search (name_disambiguation.py:597-687): bounds
+        # from CC of the (sim > tau) and (sim > 0) graphs; argmax
+        # modularity of the similarity graph over HAC labelings.
+        k_lo = max(2, _components(sim > tau))
+        k_hi = max(k_lo, _components(sim > 0))
+        best_q, best_labels, best_k = -np.inf, None, k_lo
+        for kk in range(k_lo, k_hi + 1):
+            labels = _average_linkage(-sim, kk)
+            q = _modularity(sim, labels)
+            if q > best_q:
+                best_q, best_labels, best_k = q, labels, kk
+        labels, k_used, method = best_labels, best_k, "modularity-search"
+    else:
+        labels = _average_linkage(-sim, min(k, n))
+        k_used, method = min(k, n), "fixed-k"
+
+    return pd.DataFrame(
+        {
+            "block_key": block,
+            "pub_id": ids,
+            "hac_cluster": labels.astype(np.int32),
+            "k_used": np.int32(k_used),
+            "method": method,
+        }
+    )
+
+
+def ghac_clusters(
+    pubs: DataFrame,
+    scored: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    k_from_labels: bool = True,
+    score_col: str = "score",
+    max_block_for_dense: int = 400,
+) -> DataFrame:
+    """Per-block GHAC labels via cogrouped applyInPandas.
+
+    k_from_labels=True mirrors the reference's standard mode (k =
+    count of distinct truth labels per block, ``:1229``); False mirrors
+    OpenAlex mode (modularity k-search). Blocks larger than
+    ``max_block_for_dense`` return hac_cluster = -1 (caller keeps the
+    distributed CC assignment for them — counted, never silent).
+    """
+    tau = config.match_threshold
+    max_n = max_block_for_dense
+
+    if k_from_labels and "label" in pubs.columns:
+        kdim = pubs.groupBy("block_key").agg(
+            F.countDistinct("label").alias("_k")
+        )
+        p = pubs.join(kdim, "block_key").select(
+            "block_key", "pub_id", F.col("_k").cast("int").alias("_k")
+        )
+    else:
+        p = pubs.select(
+            "block_key", "pub_id", F.lit(None).cast("int").alias("_k")
+        )
+    s = scored.select(
+        "block_key", "id_a", "id_b", F.col(score_col).alias("score")
+    )
+
+    def fn(pubs_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        k = None
+        if len(pubs_pdf) and pubs_pdf["_k"].notna().any():
+            k = int(pubs_pdf["_k"].dropna().iloc[0])
+        return _ghac_block(pubs_pdf, pairs_pdf, k, tau, max_n)
+
+    return (
+        p.groupBy("block_key")
+        .cogroup(s.groupBy("block_key"))
+        .applyInPandas(fn, GHAC_SCHEMA)
+    )
