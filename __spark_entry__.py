@@ -36,6 +36,7 @@ from hgcn_name_disambiguation_spark.operators.multimodal import (
     fake_media_table,
     sample_video_frames,
 )
+from hgcn_name_disambiguation_spark.operators.parity import ghac_clusters
 from hgcn_name_disambiguation_spark.operators.report import (
     clusters_report,
     majority_vote_assignment,
@@ -658,6 +659,21 @@ WHERE NOT EXISTS (SELECT 1 FROM assigned s
 """
 
 
+def q28_ghac_parity(spark, sf):
+    """G8/G9 parity annex (rows-only: iterative HAC + modularity
+    search are not SQL-expressible): per-block average-linkage HAC with
+    modularity k-search on a small document subset."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 20 == 0)
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    scored = fuse_scores(combined_edges(pubs, cfg), cfg)
+    out = ghac_clusters(pubs, scored, cfg, k_from_labels=False)
+    return out.groupBy("block_key", "method").agg(
+        F.count(F.lit(1)).alias("n_pubs"),
+        F.countDistinct("hac_cluster").alias("n_clusters"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -687,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_majority_assignment": q25_majority_assignment,
         "q26_cluster_report": q26_cluster_report,
         "q27_singleton_topup": q27_singleton_topup,
+        "q28_ghac_parity": q28_ghac_parity,
     }
 
 
