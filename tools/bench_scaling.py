@@ -131,6 +131,11 @@ def run_once(input_path: str, json_out: str, label: str) -> None:
             ["block_key", "id_b"],
         )
         .select("title_a", "title_b")
+        # fixed task granularity: AQE coalesces the join output to
+        # ~64MB partitions (~30 tasks — a single ragged wave at 32
+        # cores); 2x shuffle-partition count packs evenly at both core
+        # counts. The exchange runs BEFORE the timed region.
+        .repartition(SHUFFLE_PARTITIONS * 2)
         .persist()
     )
     n_map = pair_titles.count()
