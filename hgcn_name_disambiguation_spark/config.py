@@ -56,8 +56,11 @@ class PipelineConfig:
     # counted in lineage, never silent.
     max_pairs_per_block: int = 0
     # salt buckets for skewed block self-joins (applies to the exploded
-    # key join; AQE skew-join also on).
+    # key join; AQE skew-join also on). Join keys whose per-block df
+    # exceeds salt_df_threshold take the salted replicated join split
+    # into salt_buckets sub-keys; 0 disables explicit salting.
     salt_buckets: int = 8
+    salt_df_threshold: int = 64
 
     # --- connected components ---
     cc_max_iterations: int = 25

@@ -33,28 +33,99 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import PipelineConfig, DEFAULT_CONFIG
 
 
-def _pairs_from_index(
-    index: DataFrame,
-    key_cols: list[str],
-    weight_expr=None,
+def _plain_self_pairs(
+    index: DataFrame, key_cols: list[str], payload_cols: tuple[str, ...]
 ) -> DataFrame:
-    """Self-join an inverted index on key_cols; emit canonical pairs.
-
-    index must carry: block_key, <key_cols...>, pub_id.
-    Returns (block_key, id_a, id_b, w) with id_a < id_b.
-    """
     a = index.alias("a")
     b = index.alias("b")
     cond = F.col("a.block_key") == F.col("b.block_key")
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     cond = cond & (F.col("a.pub_id") < F.col("b.pub_id"))
-    pairs = a.join(b, cond, "inner").select(
+    out = [
         F.col("a.block_key").alias("block_key"),
         F.col("a.pub_id").alias("id_a"),
         F.col("b.pub_id").alias("id_b"),
+    ]
+    for c in payload_cols:
+        out += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return a.join(b, cond, "inner").select(*out)
+
+
+def _salted_self_pairs(
+    index: DataFrame,
+    key_cols: list[str],
+    payload_cols: tuple[str, ...],
+    buckets: int,
+) -> DataFrame:
+    """Self-join with the hot join key split into `buckets` sub-keys
+    (north_rule: salted repartitioning of skewed name blocks).
+
+    Each right row gets ONE salt bucket (hash of pub_id); each left row
+    is replicated to ALL buckets, so every (i, j) pair meets exactly
+    once, on join key (block, attr, bucket_of_j). A key with df = d no
+    longer funnels its C(d,2) fan-out through one shuffle partition —
+    it spreads over `buckets` sub-keys at the cost of a bounded
+    `buckets`x replication of the (already capped) hot subset."""
+    b = index.withColumn(
+        "_sb", F.pmod(F.xxhash64("pub_id"), F.lit(buckets))
+    ).alias("b")
+    a = index.withColumn(
+        "_tb", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).alias("a")
+    cond = (F.col("a.block_key") == F.col("b.block_key")) & (
+        F.col("a._tb") == F.col("b._sb")
     )
-    return pairs
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond = cond & (F.col("a.pub_id") < F.col("b.pub_id"))
+    out = [
+        F.col("a.block_key").alias("block_key"),
+        F.col("a.pub_id").alias("id_a"),
+        F.col("b.pub_id").alias("id_b"),
+    ]
+    for c in payload_cols:
+        out += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return a.join(b, cond, "inner").select(*out)
+
+
+def _pairs_from_index(
+    index: DataFrame,
+    key_cols: list[str],
+    payload_cols: tuple[str, ...] = (),
+    config: PipelineConfig | None = None,
+    df_col: str | None = None,
+) -> DataFrame:
+    """Self-join an inverted index on (block_key, key_cols); emit
+    canonical pairs (id_a < id_b), carrying payload_cols as _a/_b.
+
+    Skew handling is differentiated (explicit, per north_rule — AQE
+    skew-join splitting stays on as the runtime backstop): keys whose
+    per-block df exceeds config.salt_df_threshold take the salted
+    replicated join (split into salt_buckets sub-keys); everything
+    else takes the plain equi-join. df_col names a per-(block, key) df
+    column the caller already computed (the hot-key-cap pass), so the
+    split costs a filter, not a shuffle. Results are identical to the
+    unsalted join — asserted by the salt-invariance test.
+    """
+    if (
+        config is None
+        or config.salt_buckets <= 1
+        or config.salt_df_threshold <= 0
+        or df_col is None
+    ):
+        return _plain_self_pairs(index, key_cols, payload_cols)
+
+    # The builders already computed per-(block, key) df for the hot-key
+    # caps, so the hot/cold split is a FILTER, not another shuffle.
+    thr = config.salt_df_threshold
+    idx_cold = index.where(F.col(df_col) <= thr)
+    idx_hot = index.where(F.col(df_col) > thr)
+    cold = _plain_self_pairs(idx_cold, key_cols, payload_cols)
+    hot = _salted_self_pairs(
+        idx_hot, key_cols, payload_cols, config.salt_buckets
+    )
+    return cold.unionByName(hot)
 
 
 def _cap_hot_keys(
@@ -68,8 +139,10 @@ def _cap_hot_keys(
     df_counts = index.groupBy("block_key", *key_cols).agg(
         F.count(F.lit(1)).alias("df")
     )
-    kept_keys = df_counts.where(F.col("df") <= max_df).drop("df")
+    kept_keys = df_counts.where(F.col("df") <= max_df)
     dropped = df_counts.where(F.col("df") > max_df)
+    # kept index carries the key's df so downstream salting can split
+    # hot/cold with a filter instead of re-aggregating.
     kept = index.join(kept_keys, ["block_key", *key_cols], "inner")
     return kept, dropped
 
@@ -95,7 +168,7 @@ def coauthor_edges(
         .dropDuplicates(["block_key", "pub_id", "author"])
     )
     idx, _ = _cap_hot_keys(idx, ["author"], config.max_coauthor_df_per_block)
-    pairs = _pairs_from_index(idx, ["author"])
+    pairs = _pairs_from_index(idx, ["author"], config=config, df_col="df")
     return pairs.groupBy("block_key", "id_a", "id_b").agg(
         F.count(F.lit(1)).cast("double").alias("w_coauthor")
     )
@@ -110,7 +183,7 @@ def venue_edges(
         "block_key", "pub_id", "venue"
     )
     idx, _ = _cap_hot_keys(idx, ["venue"], config.max_venue_df_per_block)
-    pairs = _pairs_from_index(idx, ["venue"])
+    pairs = _pairs_from_index(idx, ["venue"], config=config, df_col="df")
     return pairs.groupBy("block_key", "id_a", "id_b").agg(
         F.lit(1.0).alias("w_venue")
     )
@@ -153,19 +226,10 @@ def title_edges(
         F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
     )
 
-    a = weighted.alias("a")
-    b = weighted.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block_key") == F.col("b.block_key"))
-        & (F.col("a.tok") == F.col("b.tok"))
-        & (F.col("a.pub_id") < F.col("b.pub_id")),
-    ).select(
-        F.col("a.block_key").alias("block_key"),
-        F.col("a.pub_id").alias("id_a"),
-        F.col("b.pub_id").alias("id_b"),
-        (F.col("a.idf") * F.col("b.idf")).alias("dot_term"),
-    )
+    tok_index = weighted.select("block_key", "tok", "pub_id", "idf", "df")
+    pairs = _pairs_from_index(
+        tok_index, ["tok"], payload_cols=("idf",), config=config, df_col="df"
+    ).withColumn("dot_term", F.col("idf_a") * F.col("idf_b"))
     agg = (
         pairs.groupBy("block_key", "id_a", "id_b")
         .agg(

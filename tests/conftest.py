@@ -7,7 +7,15 @@ from hgcn_name_disambiguation_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        # one long-lived JVM serves the whole suite; broadcast vars +
+        # cached fixtures accumulate, and the default 1g heap runs out
+        # of broadcast-build memory late in the run.
+        extra_conf={"spark.driver.memory": "6g"},
+    )
     yield s
 
 

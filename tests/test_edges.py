@@ -97,3 +97,35 @@ def test_hot_key_cap(spark):
     cfg = PipelineConfig(max_venue_df_per_block=5)
     assert venue_edges(pubs, cfg).count() == 0
     assert venue_edges(pubs).count() == 15  # C(6,2) without cap
+
+
+def test_salt_invariance(spark, fixture_repo_files):
+    """Salted hot-key self-join must produce the identical edge set as
+    the plain join (SURVEY §5.1 salt-count invariance property)."""
+    from hgcn_name_disambiguation_spark.config import PipelineConfig
+    from hgcn_name_disambiguation_spark.operators.candidate_pairs import (
+        combined_edges,
+    )
+    from hgcn_name_disambiguation_spark.operators.parse import (
+        parse_publications,
+    )
+
+    unsalted_cfg = PipelineConfig(salt_buckets=0)
+    # threshold 2 forces nearly every key through the salted path
+    salted_cfg = PipelineConfig(salt_buckets=8, salt_df_threshold=2)
+    pubs = parse_publications(fixture_repo_files, unsalted_cfg)
+
+    def canon(df):
+        return sorted(
+            (
+                r.block_key, r.id_a, r.id_b,
+                round(r.w_coauthor or 0, 6), round(r.w_title or 0, 6),
+                round(r.title_cos or 0, 6), round(r.w_venue or 0, 6),
+            )
+            for r in df.collect()
+        )
+
+    e1 = canon(combined_edges(pubs, unsalted_cfg))
+    e2 = canon(combined_edges(pubs, salted_cfg))
+    assert e1 == e2
+    assert len(e1) > 0
