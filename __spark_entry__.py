@@ -262,7 +262,8 @@ def q08_sessionize(spark, sf):
 
 
 Q08_SQL = """
-SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events FROM (
   SELECT user_id,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
@@ -369,12 +370,21 @@ def q13_exact_dups(spark, sf):
         "doc_id",
         F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)).alias("text"),
     )
-    return exact_duplicates(trunc)
+    # member_ids stringified: the driver's canonicalizer sorts pandas
+    # cells and ARRAY cells are unhashable (same pattern as q26).
+    return exact_duplicates(trunc).select(
+        "dup_hash",
+        "n_dups",
+        "keeper_id",
+        F.array_join(F.col("member_ids").cast("array<string>"), ",").alias(
+            "member_ids"
+        ),
+    )
 
 
 Q13_SQL = r"""
 SELECT sha256(key) AS dup_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM (SELECT doc_id,
              regexp_replace(lower(trim(array_to_string(
                  string_split_regex(trim(text), '\s+')[1:5], ' '))), '\s+', ' ', 'g') AS key
@@ -542,7 +552,17 @@ def q22_knn_ivf(spark, sf):
 
 def q23_media_features(spark, sf):
     media = fake_media_table(spark, n=48)
-    return extract_image_features(media, dim=16, fake=True)
+    feats = extract_image_features(media, dim=16, fake=True)
+    # feat stringified (rounded) — ARRAY cells crash the driver's
+    # canonical sort; rounding keeps the string stable across platforms.
+    return feats.select(
+        "media_id",
+        F.array_join(
+            F.transform("feat", lambda x: F.format_number(x, 5)), ","
+        ).alias("feat"),
+        "ok",
+        "err",
+    )
 
 
 def q24_video_frames(spark, sf):

@@ -14,10 +14,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-# Reference stoplist, pre-stemmed form (name_disambiguation.py:772-773).
-STOPWORDS: tuple[str, ...] = (
+# Reference stoplist — the EXACT raw 16-word list from
+# name_disambiguation.py:772 (including its 'algrithom' typo). The
+# reference stems this list with the same Porter stemmer it applies to
+# tokens, then drops a token iff its STEM is in the stemmed list
+# (name_disambiguation.py:773,845-848); functions.text.STOP_STEMS is
+# that stemmed form.
+RAW_STOPWORDS: tuple[str, ...] = (
     "at", "based", "in", "of", "for", "on", "and", "to", "an", "using",
-    "with", "the", "by", "we", "be", "is", "are", "can",
+    "with", "the", "method", "algrithom", "by", "model",
 )
 
 # Punctuation class stripped from titles (name_disambiguation.py:771).
@@ -33,6 +38,9 @@ class PipelineConfig:
     w_title: float = 1.0             # GCN.py:124
     w_venue: float = 4.0             # GCN.py:124
     weight_norm: float = 10.0        # GCN.py:124,130 divide-by-10
+    # org-affiliation channel (engine extension; reference parses org
+    # at name_disambiguation.py:828 but never uses it). 0 disables.
+    w_org: float = 4.0
     match_threshold: float = 0.20    # calibrated on labeled fixtures (tests);
                                      # reference tau=0.9 applies to sigmoid(dot)
                                      # of learned embeds, not raw fusion scores
@@ -42,7 +50,23 @@ class PipelineConfig:
     # 0.8 requires most of both titles' idf mass to agree — generic
     # (high-df/low-idf) token collisions top out well below it.
     strong_title_cos: float = 0.80
+    # corroboration gates, both OFF by default. Measured on the
+    # reference's 110 labeled AMiner blocks: single-coauthor-only
+    # pairs are 54% true and venue-only pairs 81% true — yet excluding
+    # them costs far more recall than it buys precision (macro
+    # P 0.89->0.90 for R 0.74->0.61; both gates: P 0.96, R 0.52)
+    # because transitive closure recovers most false merges through
+    # other paths anyway. Enable for precision-critical dedup where a
+    # false merge is costlier than a split entity.
+    exclude_single_coauthor_only: bool = False
+    exclude_venue_only: bool = False
     use_stemming: bool = True        # name_disambiguation.py:847-848
+    # Jaro-Winkler/Jaccard enrichment pass (scoring.enrich_scores):
+    # re-scores pairs with string-sim features and thresholds on
+    # score_enriched. Off by default (the fused score alone hits the
+    # F1 bar on the calibrated corpora); jobs/disambiguate.py turns it
+    # on unless --no-enrich is passed.
+    enrich: bool = False
 
     # --- scale / skew controls ---
     # tokens occurring in more than this many pubs *within one block*
@@ -52,6 +76,7 @@ class PipelineConfig:
     # same guard for venues ("Unknown" mega-venues) and coauthors.
     max_venue_df_per_block: int = 500
     max_coauthor_df_per_block: int = 500
+    max_org_df_per_block: int = 500
     # candidate pairs per block hard cap (0 = unlimited); truncation is
     # counted in lineage, never silent.
     max_pairs_per_block: int = 0
@@ -66,8 +91,14 @@ class PipelineConfig:
     cc_max_iterations: int = 25
     cc_checkpoint_every: int = 3
 
+    # --- cluster-level agglomeration (clustering.refine_clusters) ---
+    # rounds of cluster-pair merging on aggregated (incl. sub-threshold)
+    # pair evidence; 0 disables. affinity = sum(scores)/min(|A|,|B|).
+    cluster_refine_rounds: int = 0
+    cluster_merge_tau: float = 0.40
+
     # --- misc ---
-    stopwords: tuple[str, ...] = field(default=STOPWORDS)
+    stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)
     venue_null_values: tuple[str, ...] = ("", "null", "none", "unknown")
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
-from ..config import STOPWORDS, TITLE_PUNCT_RE
+from ..config import RAW_STOPWORDS, TITLE_PUNCT_RE
 
 # ---------------------------------------------------------------------------
 # Pure-Python Porter stemmer (public algorithm, Porter 1980). Implemented
@@ -163,6 +163,15 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# Stemmed stoplist — the reference stems its raw 16-word list with the
+# same stemmer it applies to tokens (name_disambiguation.py:773) and
+# tests each token's STEM against it (:845-848). Computed here so the
+# stem space is guaranteed to match this module's stemmer.
+STOP_STEMS: tuple[str, ...] = tuple(
+    dict.fromkeys(porter_stem(w) for w in RAW_STOPWORDS)
+)
+
+
 # ---------------------------------------------------------------------------
 # Column-level API
 # ---------------------------------------------------------------------------
@@ -182,9 +191,10 @@ def tokenize_keep_long(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda x: F.length(x) > 1)
 
 
-def remove_stopwords(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+def remove_stopwords(col: Column, stopwords: tuple[str, ...] = STOP_STEMS) -> Column:
     """P4: array_except against the broadcast-literal stoplist
-    (``name_disambiguation.py:772-773,848``)."""
+    (``name_disambiguation.py:772-773,848``). Default list is the
+    STEMMED reference stoplist — apply AFTER stemming for parity."""
     return F.array_except(col, F.array(*[F.lit(s) for s in stopwords]))
 
 
@@ -212,8 +222,17 @@ def stem_tokens(tokens: pd.Series) -> pd.Series:
 
 def title_tokens(col: Column, use_stemming: bool = True) -> Column:
     """Full P1->P4 chain producing the stemmed, stopword-free token array
-    (distinct, since edge weights count *set* intersections — T1)."""
-    toks = remove_stopwords(tokenize_keep_long(normalize_title(col)))
+    (distinct, since edge weights count *set* intersections — T1).
+
+    Reference order (``name_disambiguation.py:845-848``): each token is
+    STEMMED FIRST, then dropped iff its stem is in the stemmed stoplist
+    — so inflected stopwords ('using'->'us', 'models'->'model') are
+    dropped too, and the surviving tokens are stems. With
+    use_stemming=False the raw list filters raw tokens (non-parity
+    mode for already-normalized corpora)."""
+    toks = tokenize_keep_long(normalize_title(col))
     if use_stemming:
-        toks = stem_tokens(toks)
+        toks = remove_stopwords(stem_tokens(toks), STOP_STEMS)
+    else:
+        toks = remove_stopwords(toks, RAW_STOPWORDS)
     return F.array_distinct(toks)

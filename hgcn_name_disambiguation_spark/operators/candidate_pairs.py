@@ -28,9 +28,10 @@ Scale levers (explicit, per north_rule):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..functions.names import block_key as _name_key
 
 
 def _plain_self_pairs(
@@ -156,6 +157,14 @@ def coauthor_edges(
     — the reference's authorlist files likewise pair on *co*-authors
     only (``openAlex_to_HGCN.py:299-308``; we follow the intended
     cross-pub semantics, not the self-pair bug at ``:308``).
+
+    Coauthor names are normalized to the same first+last key as the
+    blocking key (P5 semantics, ``openAlex_to_HGCN.py:49-91``) before
+    matching: middle-initial variants ("David M. Engman" vs "David
+    Engman") join, and — critically — the focal author is excluded
+    under ANY of their name variants; with raw-string matching a
+    middle-initialed focal name would evade the exclusion and hand
+    every pair in the block a free coauthor edge.
     """
     idx = (
         pubs.select(
@@ -163,8 +172,12 @@ def coauthor_edges(
             "pub_id",
             F.explode("authors").alias("author"),
         )
-        .withColumn("author", F.lower(F.trim("author")))
-        .where(F.col("author") != F.col("block_key"))
+        .withColumn("author", _name_key(F.col("author")))
+        .where(
+            F.col("author").isNotNull()
+            & (F.col("author") != "")
+            & (F.col("author") != F.col("block_key"))
+        )
         .dropDuplicates(["block_key", "pub_id", "author"])
     )
     idx, _ = _cap_hot_keys(idx, ["author"], config.max_coauthor_df_per_block)
@@ -186,6 +199,39 @@ def venue_edges(
     pairs = _pairs_from_index(idx, ["venue"], config=config, df_col="df")
     return pairs.groupBy("block_key", "id_a", "id_b").agg(
         F.lit(1.0).alias("w_venue")
+    )
+
+
+def org_edges(
+    pubs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Org exact-match evidence: pubs whose normalized affiliation
+    strings are equal; weight 1.
+
+    The reference PARSES ``organization`` (``name_disambiguation.py:
+    828``, ``openAlex_to_HGCN.py:260``) but never feeds it to any
+    graph — this channel is a deliberate engine extension (the
+    north-star's "Jaro-Winkler/Levenshtein over title/org/coauthor
+    features" names org explicitly). Same inverted-index equi-join +
+    hot-key-cap shape as venues. Disabled implicitly when the input
+    has no usable org strings (the index is just empty).
+    """
+    org_norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("org"), r"[^\p{L}\p{N}\s]+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    idx = (
+        pubs.where(F.col("org").isNotNull())
+        .select("block_key", "pub_id", org_norm.alias("org"))
+        .where((F.col("org") != "") & (F.col("org") != "null") & (F.length("org") > 3))
+    )
+    idx, _ = _cap_hot_keys(idx, ["org"], config.max_org_df_per_block)
+    pairs = _pairs_from_index(idx, ["org"], config=config, df_col="df")
+    return pairs.groupBy("block_key", "id_a", "id_b").agg(
+        F.lit(1.0).alias("w_org")
     )
 
 
@@ -268,31 +314,70 @@ def combined_edges(
     Returns (block_key, id_a, id_b, w_coauthor, w_title, w_venue) with
     absent relations as 0.0. This *is* the sparse combined graph — the
     reference's dense N x N adjacency never exists here.
+
+    ``config.max_pairs_per_block > 0`` caps candidate pairs per block,
+    keeping the strongest-evidence pairs (fused-weight desc,
+    deterministic tiebreak); truncation is COUNTED via ``observe()``
+    (metric ``pairs_truncated`` on observation ``pair_cap_metrics``) —
+    never silent. The cap is the last-resort safety valve for a block
+    that survives every hot-key cap yet still explodes; default 0 (off).
     """
     ca = coauthor_edges(pubs, config)
     ve = venue_edges(pubs, config)
     ti = title_edges(pubs, config)
     keys = ["block_key", "id_a", "id_b"]
     null_d = F.lit(None).cast("double")
-    edges = (
-        ca.select(*keys, "w_coauthor", null_d.alias("w_title"),
-                  null_d.alias("title_cos"), null_d.alias("w_venue"))
-        .unionByName(
-            ti.select(*keys, null_d.alias("w_coauthor"), "w_title",
-                      "title_cos", null_d.alias("w_venue"))
+    cols = ["w_coauthor", "w_title", "title_cos", "w_venue", "w_org"]
+
+    def shaped(df: DataFrame, present: tuple[str, ...]) -> DataFrame:
+        return df.select(
+            *keys,
+            *[
+                (F.col(c) if c in present else null_d).alias(c)
+                for c in cols
+            ],
         )
-        .unionByName(
-            ve.select(*keys, null_d.alias("w_coauthor"),
-                      null_d.alias("w_title"), null_d.alias("title_cos"),
-                      "w_venue")
-        )
-        .groupBy(*keys)
-        .agg(
-            F.coalesce(F.sum("w_coauthor"), F.lit(0.0)).alias("w_coauthor"),
-            F.coalesce(F.sum("w_title"), F.lit(0.0)).alias("w_title"),
-            F.coalesce(F.max("title_cos"), F.lit(0.0)).alias("title_cos"),
-            F.coalesce(F.sum("w_venue"), F.lit(0.0)).alias("w_venue"),
-        )
+
+    branches = [
+        shaped(ca, ("w_coauthor",)),
+        shaped(ti, ("w_title", "title_cos")),
+        shaped(ve, ("w_venue",)),
+    ]
+    # org channel only when the input actually carries an org column
+    # (e.g. the documents-as-pubs mapping has none).
+    if "org" in pubs.columns:
+        branches.append(shaped(org_edges(pubs, config), ("w_org",)))
+    edges = branches[0]
+    for b in branches[1:]:
+        edges = edges.unionByName(b)
+    edges = edges.groupBy(*keys).agg(
+        F.coalesce(F.sum("w_coauthor"), F.lit(0.0)).alias("w_coauthor"),
+        F.coalesce(F.sum("w_title"), F.lit(0.0)).alias("w_title"),
+        F.coalesce(F.max("title_cos"), F.lit(0.0)).alias("title_cos"),
+        F.coalesce(F.sum("w_venue"), F.lit(0.0)).alias("w_venue"),
+        F.coalesce(F.sum("w_org"), F.lit(0.0)).alias("w_org"),
     )
-    # Spread mega-blocks across tasks for downstream scoring (skew).
-    return edges.repartition(F.col("block_key"), F.col("id_a"))
+    # No trailing repartition: the groupBy above already hash-partitioned
+    # on (block_key,id_a,id_b) and AQE re-splits any skewed partition.
+    if config.max_pairs_per_block > 0:
+        cap = config.max_pairs_per_block
+        rank_w = Window.partitionBy("block_key").orderBy(
+            F.desc(
+                F.col("w_coauthor") + F.col("title_cos") + F.col("w_venue")
+            ),
+            F.asc("id_a"),
+            F.asc("id_b"),
+        )
+        edges = (
+            edges.withColumn("_rn", F.row_number().over(rank_w))
+            .observe(
+                "pair_cap_metrics",
+                F.sum(
+                    F.when(F.col("_rn") > cap, 1).otherwise(0)
+                ).alias("pairs_truncated"),
+                F.count(F.lit(1)).alias("pairs_before_cap"),
+            )
+            .where(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    return edges

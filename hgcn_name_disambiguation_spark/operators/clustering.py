@@ -88,12 +88,29 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
 
+    # Lineage-truncation cadence: localCheckpoint every
+    # cc_checkpoint_every rounds (the expensive eager materialization
+    # to local disk); in-between rounds persist() in memory — the _sig
+    # action materializes it, so no round is recomputed, but the plan
+    # only resets at the cadence. Cuts checkpoint I/O ~k-fold while
+    # keeping the plan depth bounded at k join-rounds.
+    every = max(1, config.cc_checkpoint_every)
     cur_sig = _sig(cur)
+    prev_persisted = None
     for it in range(config.cc_max_iterations):
         stars = _canon(_large_star(cur))
         nxt = _canon(_small_star(stars))
-        nxt = nxt.localCheckpoint(eager=True)
-        nxt_sig = _sig(nxt)
+        is_ckpt_round = (it + 1) % every == 0
+        if is_ckpt_round:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        nxt_sig = _sig(nxt)  # action: materializes persist/checkpoint
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+            prev_persisted = None
+        if not is_ckpt_round:
+            prev_persisted = nxt
         converged = (cur_sig.n == nxt_sig.n) and (cur_sig.h == nxt_sig.h)
         cur, cur_sig = nxt, nxt_sig
         if converged:
@@ -105,6 +122,117 @@ def connected_components(
         "component", F.col("node")
     )
     return comp.unionByName(roots).dropDuplicates(["node"])
+
+
+def refine_clusters(
+    clustered: DataFrame,
+    scored: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Cluster-level agglomeration — the distributed analogue of the
+    reference's per-block average-linkage GHAC stage (G8,
+    ``name_disambiguation.py:90-92,633-637``), run AFTER the
+    pair-threshold CC pass.
+
+    Rationale (measured on the reference's 110 labeled AMiner blocks):
+    a single weak pair edge is unreliable (single-coauthor-only pairs
+    are 54% true), but MANY weak edges between the same two clusters
+    are collectively strong. So: aggregate ALL scored pair evidence
+    (including sub-threshold pairs) across each cluster pair,
+    average-linkage-normalize, and merge cluster pairs whose affinity
+    clears ``cluster_merge_tau``; merging is one more (tiny) CC run on
+    the cluster graph, so chains merge transitively within the round.
+
+      affinity(A, B) = sum(pair scores between A and B)
+                       / min(|A|, |B|)
+
+    min-normalization = "per member of the smaller cluster, how much
+    aggregate evidence points across" — scale-free in block size; a
+    mega-cluster cannot swallow a small one on volume alone. Everything
+    is hash aggregation on (block, cluster_a, cluster_b) — bounded by
+    the scored-pair count, never n^2 in cluster sizes. Repeats
+    ``config.cluster_refine_rounds`` times (sizes/affinities recomputed
+    each round); new cluster id = min member cluster id, preserving the
+    min-pub-id convention.
+    """
+    if config.cluster_refine_rounds <= 0:
+        return clustered
+    e = scored.select("block_key", "id_a", "id_b", "score")
+    out = clustered
+    for _ in range(config.cluster_refine_rounds):
+        cmap = out.select("block_key", "pub_id", "cluster_id")
+        ea = cmap.select(
+            "block_key",
+            F.col("pub_id").alias("id_a"),
+            F.col("cluster_id").alias("ca"),
+        )
+        eb = cmap.select(
+            "block_key",
+            F.col("pub_id").alias("id_b"),
+            F.col("cluster_id").alias("cb"),
+        )
+        cross = (
+            e.join(ea, ["block_key", "id_a"])
+            .join(eb, ["block_key", "id_b"])
+            .where(F.col("ca") != F.col("cb"))
+            .select(
+                "block_key",
+                F.least("ca", "cb").alias("ca"),
+                F.greatest("ca", "cb").alias("cb"),
+                "score",
+            )
+        )
+        sizes = out.groupBy("block_key", "cluster_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        agg = cross.groupBy("block_key", "ca", "cb").agg(
+            F.sum("score").alias("s")
+        )
+        agg = (
+            agg.join(
+                sizes.select(
+                    "block_key",
+                    F.col("cluster_id").alias("ca"),
+                    F.col("sz").alias("na"),
+                ),
+                ["block_key", "ca"],
+            )
+            .join(
+                sizes.select(
+                    "block_key",
+                    F.col("cluster_id").alias("cb"),
+                    F.col("sz").alias("nb"),
+                ),
+                ["block_key", "cb"],
+            )
+            .withColumn(
+                "affinity", F.col("s") / F.least("na", "nb")
+            )
+        )
+        merges = agg.where(F.col("affinity") >= config.cluster_merge_tau)
+        if merges.isEmpty():
+            break
+        node = lambda c: F.concat_ws(_SEP, F.col("block_key"), c)  # noqa: E731
+        comp = connected_components(
+            merges.select(
+                node(F.col("ca")).alias("src"), node(F.col("cb")).alias("dst")
+            ),
+            config=config,
+        ).select(
+            F.split_part(F.col("node"), F.lit(_SEP), F.lit(1)).alias("block_key"),
+            F.split_part(F.col("node"), F.lit(_SEP), F.lit(2)).alias("cluster_id"),
+            F.split_part(F.col("component"), F.lit(_SEP), F.lit(2)).alias(
+                "_new_cid"
+            ),
+        )
+        out = (
+            out.join(comp, ["block_key", "cluster_id"], "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("_new_cid"), F.col("cluster_id"))
+            )
+            .drop("_new_cid")
+        )
+    return out
 
 
 def assign_clusters(

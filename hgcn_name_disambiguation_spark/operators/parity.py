@@ -52,6 +52,9 @@ def _average_linkage(dist: np.ndarray, k: int) -> np.ndarray:
     update). Returns int labels 0..k-1. O(n^3) worst case — callers
     cap n via max_block_for_dense."""
     n = dist.shape[0]
+    if k <= 0:
+        k = 1  # guard: k<=0 would deactivate every cluster and return
+        # uninitialized labels (np.empty garbage)
     if k >= n:
         return np.arange(n)
     d = dist.astype(np.float64).copy()
@@ -195,6 +198,7 @@ def ghac_clusters(
     k_from_labels: bool = True,
     score_col: str = "score",
     max_block_for_dense: int = 400,
+    preclust_tau: float | None = None,
 ) -> DataFrame:
     """Per-block GHAC labels via cogrouped applyInPandas.
 
@@ -203,8 +207,17 @@ def ghac_clusters(
     OpenAlex mode (modularity k-search). Blocks larger than
     ``max_block_for_dense`` return hac_cluster = -1 (caller keeps the
     distributed CC assignment for them — counted, never silent).
+
+    ``preclust_tau`` is the k-search lower-bound edge threshold: the
+    reference zeroes sim <= 0.9 before counting components
+    (``name_disambiguation.py:86,599``) because its sims are
+    sigmoid(dot) of learned embeds clustered near 1. This engine's
+    fused scores live on a different scale, so the default (None) is a
+    DELIBERATE adaptation: config.match_threshold — the calibrated
+    match bar on the fused scale. Pass 0.9 explicitly for literal
+    reference-constant behavior on sigmoid-scaled inputs.
     """
-    tau = config.match_threshold
+    tau = config.match_threshold if preclust_tau is None else preclust_tau
     max_n = max_block_for_dense
 
     if k_from_labels and "label" in pubs.columns:
@@ -226,6 +239,11 @@ def ghac_clusters(
         k = None
         if len(pubs_pdf) and pubs_pdf["_k"].notna().any():
             k = int(pubs_pdf["_k"].dropna().iloc[0])
+        if k is not None and k <= 0:
+            # all-NULL label column -> countDistinct == 0: no usable
+            # truth, fall back to the k-search path instead of feeding
+            # k=0 into the linkage (which would emit garbage labels).
+            k = None
         return _ghac_block(pubs_pdf, pairs_pdf, k, tau, max_n)
 
     return (

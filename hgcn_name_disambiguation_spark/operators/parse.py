@@ -1,9 +1,19 @@
 """M1 — ingest + normalize: repo_files -> typed publications frame.
 
 Reference parity (SURVEY §2.1 S1-S2, §2.2 P1-P8):
-- scan + sanitize + parse:  ``name_disambiguation.py:798-848``
-  (here: one `from_json` with an explicit schema — columnar, prunable;
-  the reference's `&`-regex sanitization is unnecessary on JSON),
+- scan + sanitize + parse:  ``name_disambiguation.py:798-848``.
+  Two content encodings, one scan (CASE on ``lang``):
+  * ``lang='json'``: one `from_json` with an explicit schema —
+    columnar, prunable; the reference's `&`-regex sanitization is
+    unnecessary on JSON,
+  * ``lang='xml'``: the reference's own ``<publication>`` element
+    format (``raw-data/*.xml``, field map at
+    ``name_disambiguation.py:818-848``), parsed with codegen'd
+    regexp_extract per field after the reference's exact `&`->space
+    sanitize (``:802``); the block name comes from the ``path`` file
+    stem (the reference's one-file-per-name layout, ``:776-791``), so
+    ``content`` stays VERBATIM reference bytes and the sha256
+    invariant is checkable against the original files,
 - malformed-row guards P6:  null-id/label/title rows are dropped AND
   counted via ``observe()`` metrics,
 - "Untitled" default P8:    ``coalesce`` (``openAlex_to_HGCN.py:172-174``),
@@ -39,6 +49,51 @@ PUBLICATION_JSON_SCHEMA = T.StructType(
 )
 
 
+def _xml_rec() -> F.Column:
+    """content (one ``<publication>`` XML element, reference format) ->
+    struct matching PUBLICATION_JSON_SCHEMA. All codegen'd built-ins.
+
+    Parity notes (``name_disambiguation.py:798-848``):
+    - `&` -> ' ' on the WHOLE text before parsing (``:802``) — entity
+      refs like ``&amp;`` deliberately degrade to `` amp;`` exactly as
+      the reference's ET parse sees them,
+    - literal ``null`` text (the reference's serialized None) -> NULL,
+    - authors are the comma-joined string (``:828``, AMiner uses ','
+      and OpenAlex ', ' — split + trim covers both),
+    - block = file stem of ``path`` (one file per name block).
+    """
+    s = F.regexp_replace("content", "&", " ")
+
+    def tag(name: str) -> F.Column:
+        return F.regexp_extract(s, f"(?s)<{name}>(.*?)</{name}>", 1)
+
+    def nn(c: F.Column) -> F.Column:
+        t = F.trim(c)
+        return F.when((t == "") | (t == "null"), F.lit(None)).otherwise(t)
+
+    def int_of(c: F.Column) -> F.Column:
+        t = F.trim(c)
+        return F.when(t.rlike("^-?[0-9]+$"), t.cast("int"))
+
+    authors = F.filter(
+        F.transform(
+            F.split(F.coalesce(nn(tag("authors")), F.lit("")), ","),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return F.struct(
+        nn(F.regexp_extract("path", r"([^/]+?)(?:\.xml)?$", 1)).alias("block"),
+        nn(tag("id")).alias("pub_id"),
+        nn(tag("title")).alias("title"),
+        int_of(tag("year")).alias("year"),
+        authors.alias("authors"),
+        nn(tag("jconf")).alias("venue"),
+        nn(tag("organization")).alias("org"),
+        int_of(tag("label")).alias("label"),
+    )
+
+
 def parse_publications(
     repo_files: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
@@ -54,9 +109,16 @@ def parse_publications(
     """
     parsed = (
         repo_files
-        # lang predicate — pushed to the scan by Catalyst.
-        .where(F.col("lang") == "json")
-        .withColumn("rec", F.from_json("content", PUBLICATION_JSON_SCHEMA))
+        # lang predicate — pushed to the scan by Catalyst; one scan,
+        # per-row CASE picks the decoder.
+        .where(F.col("lang").isin("json", "xml"))
+        .withColumn(
+            "rec",
+            F.when(
+                F.col("lang") == "json",
+                F.from_json("content", PUBLICATION_JSON_SCHEMA),
+            ).otherwise(_xml_rec()),
+        )
         .withColumn("content_sha", F.sha2("content", 256))
     )
 

@@ -26,7 +26,8 @@ from ..functions.names import jaro_winkler_udf, levenshtein_sim
 def fuse_scores(
     edges: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """edges(block_key,id_a,id_b,w_coauthor,w_title,w_venue) -> +score.
+    """edges(block_key,id_a,id_b,w_coauthor,w_title,[w_org,]w_venue)
+    -> +score.
 
     Per-relation evidence is squashed to [0,1]:
       coauthor_sig = min(1, w_coauthor)        (>=1 shared coauthor)
@@ -34,8 +35,14 @@ def fuse_scores(
                                                scale-free — see
                                                candidate_pairs.title_edges)
       venue_sig    = min(1, w_venue)           (same venue)
+      org_sig      = min(1, w_org)             (same affiliation string;
+                                               engine extension — the
+                                               reference parses org but
+                                               never uses it)
     then fused with the reference weights (GCN.py:124):
-      score = (5*coauthor + 1*title + 4*venue) / 10.
+      score = (5*coauthor + 1*title + 4*venue)/10 + (w_org_cfg/10)*org.
+    The reference channels keep their exact published weights; org is
+    additive on top (score range [0, 1 + w_org/10]).
     """
     ca = F.least(F.lit(1.0), F.col("w_coauthor"))
     ti = F.col("title_cos")
@@ -43,6 +50,10 @@ def fuse_scores(
     score = (
         config.w_coauthor * ca + config.w_title * ti + config.w_venue * ve
     ) / F.lit(config.weight_norm)
+    if "w_org" in edges.columns and config.w_org > 0:
+        score = score + (
+            config.w_org * F.least(F.lit(1.0), F.col("w_org"))
+        ) / F.lit(config.weight_norm)
     return edges.withColumn("score", score)
 
 
@@ -132,9 +143,31 @@ def threshold_matches(
     IDF-cosine is strong (>= strong_title_cos): pubs connected by
     nothing but a rare-token title match still belong together, and
     the fused weight (1/10) alone can never lift them over tau.
+
+    Corroboration gates (config.exclude_single_coauthor_only /
+    exclude_venue_only): evidence signatures whose measured precision
+    on the reference's labeled corpus is too low for transitive
+    closure (one false edge merges two whole entities) are excluded
+    even when the fused score clears tau — see config for the
+    measured numbers.
     """
     cond = F.col(score_col) > config.match_threshold
-    if "title_cos" in scored.columns:
+    have = set(scored.columns)
+    if {"w_coauthor", "w_venue", "w_org", "title_cos"} <= have:
+        no_title = F.col("title_cos") <= 0
+        no_other = (F.col("w_venue") <= 0) & (F.col("w_org") <= 0)
+        if config.exclude_single_coauthor_only:
+            solo_co = (F.col("w_coauthor") == 1) & no_other & no_title
+            cond = cond & ~solo_co
+        if config.exclude_venue_only:
+            solo_ve = (
+                (F.col("w_venue") > 0)
+                & (F.col("w_coauthor") <= 0)
+                & (F.col("w_org") <= 0)
+                & no_title
+            )
+            cond = cond & ~solo_ve
+    if "title_cos" in have:
         cond = cond | (F.col("title_cos") >= config.strong_title_cos)
     return scored.where(cond).select(
         "block_key", "id_a", "id_b", F.col(score_col).alias("score")

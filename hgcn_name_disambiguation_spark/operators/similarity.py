@@ -58,8 +58,9 @@ def allpairs_cosine_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
     round_to: int | None = None,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """EXACT all-pairs cosine >= threshold via block-matrix self-join.
 
@@ -69,15 +70,29 @@ def allpairs_cosine_blocked(
     each row to the B block-pair groups it participates in, and let
     each group compute ONE dense GEMM over Arrow-delivered numpy
     matrices (``applyInPandas``). Work per task is an (n/B)^2 matmul —
-    BLAS-speed, bounded memory; replication factor is B (choose
-    B ~ sqrt(cluster cores) so n^2 total work spreads over B(B+1)/2
-    tasks). No pair ever crosses the wire individually: only the final
-    >= threshold survivors are emitted.
+    BLAS-speed, bounded memory; replication factor is B. No pair ever
+    crosses the wire individually: only the final >= threshold
+    survivors are emitted.
+
+    ``num_blocks=None`` (default) sizes B FROM THE DATA:
+    B = ceil(n / rows_per_block), so each task holds at most
+    ~2*rows_per_block vectors dense in one pandas frame regardless of
+    corpus size — B grows linearly with n, tasks B(B+1)/2 grow with
+    the (inherent) n^2 work, and per-task memory stays constant. A
+    fixed B would cap parallelism and OOM a task at 100x data. The
+    result is B-invariant (exact pairs), so the one count() action
+    this costs never changes answers.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b. ``round_to`` rounds
     BEFORE thresholding (oracle-comparable semantics).
     """
+    import math
+
     import numpy as np
+
+    if num_blocks is None:
+        n = df.count()
+        num_blocks = max(1, math.ceil(n / max(1, rows_per_block)))
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -266,15 +281,35 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF coarse quantization: centroids = num_cells deterministic
-    corpus samples (seeded hash order — no RNG state, resume-safe);
+    corpus samples (seeded hash threshold — no RNG state, resume-safe);
     vectors assigned to nearest centroid once; queries probe the
-    `nprobe` nearest cells. Candidate set = union of probed cells."""
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)))
-        .limit(num_cells)
-        .collect()
+    `nprobe` nearest cells. Candidate set = union of probed cells.
+
+    Centroid selection = hash-threshold FILTER (keep the 1/mod slice
+    of seeded xxhash64 values) + hash-min-k on the slice. The min-k
+    compiles to TakeOrderedAndProject — a per-partition heap of
+    num_cells rows merged at the driver: NO shuffle, NO exchange, NO
+    full-corpus sort (asserted by test on the physical plan). If the
+    corpus is too small to fill the slice, mod widens geometrically.
+    Result is the global hash-min-k of the slice — deterministic under
+    any partitioning/layout."""
+    keyed = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
     )
+    mod = 1 << 14
+    cents: list = []
+    while True:
+        cents = (
+            keyed.where(F.pmod("_h", F.lit(mod)) == 0)
+            .orderBy("_h", "cid")
+            .limit(num_cells)
+            .collect()
+        )
+        if len(cents) >= num_cells or mod == 1:
+            break
+        mod = max(1, mod >> 4)
     cent_vecs = [(i, [float(x) for x in r.cvec]) for i, r in enumerate(cents)]
 
     def cell_scores(vec: Column) -> Column:

@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..operators.candidate_pairs import combined_edges
-from ..operators.clustering import assign_clusters
+from ..operators.clustering import assign_clusters, refine_clusters
 from ..operators.evaluate import metrics_summary, pairwise_metrics
 from ..operators.parse import parse_publications
-from ..operators.scoring import fuse_scores, threshold_matches
+from ..operators.scoring import enrich_scores, fuse_scores, threshold_matches
 
 
 @dataclass
@@ -43,8 +43,14 @@ def run_pipeline(
     pubs = parse_publications(repo_files, config)
     edges = combined_edges(pubs, config)
     scored = fuse_scores(edges, config)
-    matches = threshold_matches(scored, config)
+    if config.enrich:
+        scored = enrich_scores(scored, pubs, config)
+        matches = threshold_matches(scored, config, score_col="score_enriched")
+    else:
+        matches = threshold_matches(scored, config)
     clustered = assign_clusters(pubs, matches, config)
+    if config.cluster_refine_rounds > 0:
+        clustered = refine_clusters(clustered, scored, config)
     metrics = pairwise_metrics(clustered)
     return PipelineResult(pubs, edges, scored, matches, clustered, metrics)
 
@@ -52,8 +58,8 @@ def run_pipeline(
 def verify_content_sha(repo_files: DataFrame, clustered: DataFrame) -> bool:
     """North-rule per-row invariant: every input row's sha2(content,256)
     survives to the clustered output unchanged (anti-join is empty both
-    ways on the json rows)."""
-    src = repo_files.where(F.col("lang") == "json").select(
+    ways on the parsed-lang rows)."""
+    src = repo_files.where(F.col("lang").isin("json", "xml")).select(
         F.sha2("content", 256).alias("content_sha")
     )
     out = clustered.select("content_sha")

@@ -110,15 +110,20 @@ def disambiguation_stages(runner: StageRunner, config=None) -> StageRunner:
     from ..operators.clustering import assign_clusters
     from ..operators.evaluate import pairwise_metrics
     from ..operators.parse import parse_publications
-    from ..operators.scoring import fuse_scores, threshold_matches
+    from ..operators.scoring import enrich_scores, fuse_scores, threshold_matches
 
     cfg = config or DEFAULT_CONFIG
 
+    def _matches(d):
+        scored = fuse_scores(d["edges"], cfg)
+        if cfg.enrich:
+            scored = enrich_scores(scored, d["pubs"], cfg)
+            return threshold_matches(scored, cfg, score_col="score_enriched")
+        return threshold_matches(scored, cfg)
+
     runner.add("pubs", lambda d: parse_publications(d["repo_files"], cfg))
     runner.add("edges", lambda d: combined_edges(d["pubs"], cfg))
-    runner.add(
-        "matches", lambda d: threshold_matches(fuse_scores(d["edges"], cfg), cfg)
-    )
+    runner.add("matches", _matches)
     runner.add("clustered", lambda d: assign_clusters(d["pubs"], d["matches"], cfg))
     runner.add("metrics", lambda d: pairwise_metrics(d["clustered"]))
     return runner

@@ -19,7 +19,7 @@ sinks via processAllAvailable() — the synchronous local harness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.candidate_pairs import combined_edges
@@ -58,13 +58,21 @@ class IncrementalDisambiguator:
     """foreachBatch incremental ER over a stream of repo_files rows.
 
     State: an accumulated `pubs` store + current `clustered` output,
-    both parquet-backed (Iceberg at prod — io.catalog). Per batch:
-      1. parse new rows -> new pubs; append to store
-      2. touched = blocks present in the batch
-      3. re-run edges->score->threshold->CC for touched blocks ONLY
-         (the store is partitioned by block bucket, so this is a
-         pruned scan, not a full pass)
-      4. overwrite those blocks' cluster assignments
+    both parquet-backed (Iceberg at prod — io.catalog) and partitioned
+    by ``block_bucket = pmod(xxhash64(block_key), store_buckets)``.
+    Per batch:
+      1. parse new rows -> new pubs; append to the bucketed store
+      2. touched buckets (a bounded list, <= store_buckets ints — the
+         ONLY thing that ever reaches the driver) prune the store scan
+         to the partitions that can contain touched blocks
+      3. a broadcast LEFT SEMI join on the touched block-keys frame
+         narrows compute to touched blocks only — no collect() of
+         block keys, no isin() over an unbounded list
+      4. re-run edges->score->threshold->CC for those blocks; write
+         back at bucket granularity: recomputed blocks' clusters
+         UNION the untouched blocks' existing rows from the same
+         buckets (a pruned read + broadcast anti-join, no recompute),
+         dynamic-partition-overwriting exactly the touched buckets
 
     Determinism: the result equals the batch pipeline run on the union
     of all rows seen so far (asserted in tests) — incremental vs batch
@@ -76,11 +84,13 @@ class IncrementalDisambiguator:
         spark: SparkSession,
         store_dir: str,
         config: PipelineConfig = DEFAULT_CONFIG,
+        store_buckets: int = 64,
     ):
         self.spark = spark
         self.store_dir = store_dir
         self.config = config
-        self._have_store = False
+        self.store_buckets = store_buckets
+        self._have_clusters = False
 
     def _store_path(self) -> str:
         return f"{self.store_dir}/pubs_store"
@@ -88,30 +98,66 @@ class IncrementalDisambiguator:
     def _clusters_path(self) -> str:
         return f"{self.store_dir}/clusters"
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        new_pubs = parse_publications(batch_df, self.config, observe_name=None)
-        new_pubs.write.mode("append").parquet(self._store_path())
-        self._have_store = True
+    def _bucket(self) -> Column:
+        return F.pmod(F.xxhash64("block_key"), F.lit(self.store_buckets))
 
-        store = self.spark.read.parquet(self._store_path())
-        touched = [
-            r.block_key
-            for r in new_pubs.select("block_key").distinct().collect()
+    def _clusters_exist(self) -> bool:
+        # restart-safe (resume from stream checkpoint re-creates this
+        # object): probe the filesystem once, then cache.
+        if self._have_clusters:
+            return True
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._clusters_path())
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        self._have_clusters = bool(fs.exists(path))
+        return self._have_clusters
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        new_pubs = parse_publications(
+            batch_df, self.config, observe_name=None
+        ).withColumn("block_bucket", self._bucket())
+        new_pubs.write.mode("append").partitionBy("block_bucket").parquet(
+            self._store_path()
+        )
+
+        touched_keys = new_pubs.select("block_key").distinct()
+        # Bounded driver data: bucket ids only (<= store_buckets).
+        buckets = [
+            r.b
+            for r in touched_keys.select(self._bucket().alias("b"))
+            .distinct()
+            .collect()
         ]
-        if not touched:
+        if not buckets:
             return
-        scoped = store.where(F.col("block_key").isin(touched))
+        store = self.spark.read.parquet(self._store_path()).where(
+            F.col("block_bucket").isin(buckets)  # partition pruning
+        )
+        scoped = store.join(F.broadcast(touched_keys), "block_key", "left_semi")
         edges = combined_edges(scoped, self.config)
         matches = threshold_matches(
             fuse_scores(edges, self.config), self.config
         )
         clustered = assign_clusters(scoped, matches, self.config)
+
+        if self._clusters_exist():
+            # keep untouched blocks living in the touched buckets
+            existing = self.spark.read.parquet(self._clusters_path()).where(
+                F.col("block_bucket").isin(buckets)
+            )
+            keep = existing.join(
+                F.broadcast(touched_keys), "block_key", "left_anti"
+            )
+            clustered = clustered.unionByName(
+                keep, allowMissingColumns=False
+            )
         (
             clustered.write.mode("overwrite")
-            .partitionBy("block_key")
+            .partitionBy("block_bucket")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self._clusters_path())
         )
+        self._have_clusters = True
 
     def attach(self, stream_df: DataFrame):
         """Wire onto a streaming DataFrame of repo_files rows."""

@@ -62,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     # py-files puts the zip on sys.path for the driver; nothing else needed.
-    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG, PipelineConfig
+    import dataclasses
+
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
     from hgcn_name_disambiguation_spark.operators.report import write_clusters_json
     from hgcn_name_disambiguation_spark.plans.pipeline import (
         run_pipeline, verify_content_sha,
@@ -71,9 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         StageRunner, disambiguation_stages,
     )
 
-    cfg = DEFAULT_CONFIG
+    overrides: dict = {"enrich": not args.no_enrich}
     if args.threshold is not None:
-        cfg = PipelineConfig(match_threshold=args.threshold)
+        overrides["match_threshold"] = args.threshold
+    cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides)
 
     spark = build_session("disambiguate", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")

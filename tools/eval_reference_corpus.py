@@ -1,0 +1,162 @@
+"""Evaluate the ER pipeline on the reference's REAL labeled corpora.
+
+Runs the full pipeline (parse -> edges -> fuse -> threshold -> CC)
+over ``/root/reference/raw-data`` (110 AMiner blocks) and/or
+``raw-data-temp`` (the 4 OpenAlex blocks behind the reference's
+published AM_nok.csv numbers), computes per-block pairwise P/R/F1
+against the embedded ``<label>`` truth (closed form, G10), and
+reports macro averages plus a comparison against every number the
+reference publishes (``result/AM_nok.csv``: avg F1 0.8466; Engman
+1.0, Fukagawa 1.0, Fowler 0.5399).
+
+Usage:
+    python tools/eval_reference_corpus.py [--subdirs raw-data,raw-data-temp]
+        [--threshold 0.2] [--enrich] [--markdown REFERENCE_EVAL.md]
+
+Prints one JSON line with the headline metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG  # noqa: E402
+from hgcn_name_disambiguation_spark.fixtures.reference_corpus import (  # noqa: E402
+    load_reference_repo_files,
+)
+from hgcn_name_disambiguation_spark.plans.pipeline import run_pipeline  # noqa: E402
+
+# Every per-name F1 the reference publishes (result/AM_nok.csv).
+REFERENCE_PUBLISHED = {
+    "Daniel Fowler": 0.5399,
+    "David Engman": 1.0,
+    "Naomi Fukagawa": 1.0,
+}
+REFERENCE_AVG_F1 = 0.8466
+
+
+def build_session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("eval_reference_corpus")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdirs", default="raw-data,raw-data-temp")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--enrich", action="store_true")
+    ap.add_argument("--names", default=None, help="comma-separated subset")
+    ap.add_argument("--markdown", default=None)
+    ap.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        help="PipelineConfig override, e.g. --set strong_title_cos=0.6",
+    )
+    args = ap.parse_args(argv)
+
+    overrides = {}
+    if args.threshold is not None:
+        overrides["match_threshold"] = args.threshold
+    if args.enrich:
+        overrides["enrich"] = True
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        cur = getattr(DEFAULT_CONFIG, k)
+        overrides[k] = type(cur)(v) if not isinstance(cur, bool) else v == "true"
+    cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides)
+
+    spark = build_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    repo_files = load_reference_repo_files(
+        spark,
+        subdirs=tuple(args.subdirs.split(",")),
+        names=args.names.split(",") if args.names else None,
+    )
+    result = run_pipeline(repo_files, cfg)
+    per_block = (
+        result.metrics.select("block_key", "precision", "recall", "f1")
+        .orderBy("block_key")
+        .collect()
+    )
+    n_pubs = result.clustered.count()
+    wall = time.perf_counter() - t0
+
+    # block_key is the normalized (lowercased first+last) form
+    rows = {r.block_key.lower(): r for r in per_block}
+    avg = lambda k: (  # noqa: E731
+        sum(getattr(r, k) for r in per_block) / len(per_block)
+    )
+    headline = {
+        "metric": "macro_f1_reference_corpus",
+        "value": round(avg("f1"), 4),
+        "unit": "f1",
+        "n_blocks": len(per_block),
+        "n_pubs": n_pubs,
+        "avg_precision": round(avg("precision"), 4),
+        "avg_recall": round(avg("recall"), 4),
+        "threshold": cfg.match_threshold,
+        "enrich": cfg.enrich,
+        "wall_s": round(wall, 1),
+        "published": {
+            name: {
+                "reference_f1": ref,
+                "ours_f1": (
+                    round(rows[name.lower()].f1, 4)
+                    if name.lower() in rows
+                    else None
+                ),
+            }
+            for name, ref in REFERENCE_PUBLISHED.items()
+        },
+        "reference_avg_f1": REFERENCE_AVG_F1,
+    }
+    print(json.dumps(headline))
+
+    if args.markdown:
+        lines = [
+            "# REFERENCE_EVAL — pipeline F1 on the reference's real labeled corpora",
+            "",
+            f"Config: threshold={cfg.match_threshold}, enrich={cfg.enrich}, "
+            f"subdirs={args.subdirs}. {len(per_block)} blocks, {n_pubs} pubs, "
+            f"{wall:.0f}s wall.",
+            "",
+            f"**Macro avg: P={avg('precision'):.4f} R={avg('recall'):.4f} "
+            f"F1={avg('f1'):.4f}** "
+            f"(reference publishes avg F1 {REFERENCE_AVG_F1} on its 3-name "
+            "OpenAlex eval — result/AM_nok.csv)",
+            "",
+            "| block | precision | recall | f1 | reference f1 |",
+            "|---|---|---|---|---|",
+        ]
+        for r in per_block:
+            ref = REFERENCE_PUBLISHED.get(r.block_key)
+            lines.append(
+                f"| {r.block_key} | {r.precision:.4f} | {r.recall:.4f} | "
+                f"{r.f1:.4f} | {ref if ref is not None else '—'} |"
+            )
+        with open(args.markdown, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
