@@ -694,6 +694,121 @@ def q28_ghac_parity(spark, sf):
     )
 
 
+# Shared CTE chain replicating the ER edge builders (J1-J3 + T1) over
+# the documents-as-pubs mapping, exactly as combined_edges computes
+# them: inverted indexes, per-block token df with the 40-token hot cap,
+# idf = ln((n_block+1)/df), cosine over per-pub idf vectors, pair kept
+# iff token overlap >= 2. pub_id compares as STRING on both sides.
+_ER_EDGES_CTE = r"""
+WITH pubs AS (
+  SELECT lang AS block_key, CAST(doc_id AS VARCHAR) AS pub_id, text, source
+  FROM documents),
+toks AS (
+  SELECT DISTINCT block_key, pub_id, tok FROM (
+    SELECT block_key, pub_id,
+           unnest(string_split(trim(regexp_replace(lower(regexp_replace(
+             text, '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~—～]+', ' ', 'g')),
+             '\s+', ' ', 'g')), ' ')) AS tok
+    FROM pubs)
+  WHERE length(tok) > 1 AND tok NOT IN (
+    'at','based','in','of','for','on','and','to','an','using','with',
+    'the','method','algrithom','by','model')),
+dfreq AS (SELECT block_key, tok, COUNT(*) AS df FROM toks GROUP BY 1, 2),
+nblk AS (SELECT block_key, COUNT(*) AS n_block FROM pubs GROUP BY 1),
+wtoks AS (
+  SELECT t.block_key, t.pub_id, t.tok, ln((n_block + 1.0) / df) AS idf
+  FROM toks t JOIN dfreq USING (block_key, tok) JOIN nblk USING (block_key)
+  WHERE df <= 40),
+norms AS (
+  SELECT block_key, pub_id, sqrt(SUM(idf * idf)) AS norm
+  FROM wtoks GROUP BY 1, 2),
+tpairs AS (
+  SELECT a.block_key, a.pub_id AS id_a, b.pub_id AS id_b,
+         CASE WHEN COUNT(*) >= 2 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 0.0 END AS w_title,
+         SUM(a.idf * b.idf) AS dot
+  FROM wtoks a
+  JOIN wtoks b ON a.block_key = b.block_key AND a.tok = b.tok
+              AND a.pub_id < b.pub_id
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 1),
+title AS (
+  SELECT t.block_key, t.id_a, t.id_b, t.w_title,
+         CASE WHEN na.norm > 0 AND nb.norm > 0
+              THEN t.dot / (na.norm * nb.norm) ELSE 0.0 END AS title_cos
+  FROM tpairs t
+  JOIN norms na ON na.block_key = t.block_key AND na.pub_id = t.id_a
+  JOIN norms nb ON nb.block_key = t.block_key AND nb.pub_id = t.id_b),
+cv AS (
+  SELECT a.block_key, a.pub_id AS id_a, b.pub_id AS id_b,
+         CAST(1.0 AS DOUBLE) AS w_coauthor, CAST(1.0 AS DOUBLE) AS w_venue
+  FROM pubs a
+  JOIN pubs b ON a.block_key = b.block_key AND a.source = b.source
+             AND a.pub_id < b.pub_id),
+edges AS (
+  SELECT block_key, id_a, id_b,
+         COALESCE(SUM(w_coauthor), 0.0) AS w_coauthor,
+         COALESCE(SUM(w_title), 0.0)    AS w_title,
+         COALESCE(MAX(title_cos), 0.0)  AS title_cos,
+         COALESCE(SUM(w_venue), 0.0)    AS w_venue
+  FROM (
+    SELECT block_key, id_a, id_b, w_coauthor, NULL AS w_title,
+           NULL AS title_cos, w_venue FROM cv
+    UNION ALL
+    SELECT block_key, id_a, id_b, NULL, w_title, title_cos, NULL FROM title)
+  GROUP BY 1, 2, 3)
+"""
+
+
+def q29_er_edges(spark, sf):
+    """J1-J4/T1/A1 oracle-checked: the combined sparse evidence graph
+    (coauthor + venue + IDF-cosine title channels, hot-key caps) over
+    the documents-as-pubs mapping — the heart of the ER engine,
+    hash-checked cell by cell instead of rows-only."""
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    return combined_edges(pubs, cfg).select(
+        "block_key",
+        "id_a",
+        "id_b",
+        "w_coauthor",
+        "w_title",
+        F.round("title_cos", 4).alias("title_cos"),
+        "w_venue",
+    )
+
+
+Q29_SQL = _ER_EDGES_CTE + """
+SELECT block_key, id_a, id_b, w_coauthor, w_title,
+       ROUND(title_cos, 4) AS title_cos, w_venue
+FROM edges
+"""
+
+
+def q30_er_matches(spark, sf):
+    """F7 fusion + G6 threshold oracle-checked: fused score
+    (5*coauthor + 1*title_cos + 4*venue)/10, kept iff score > tau or
+    title_cos >= strong_title_cos."""
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    matches = threshold_matches(fuse_scores(combined_edges(pubs, cfg), cfg), cfg)
+    return matches.select(
+        "block_key", "id_a", "id_b", F.round("score", 4).alias("score")
+    )
+
+
+Q30_SQL = _ER_EDGES_CTE + """
+SELECT block_key, id_a, id_b,
+       ROUND((5 * LEAST(1.0, w_coauthor) + 1 * title_cos
+              + 4 * LEAST(1.0, w_venue)) / 10, 4) AS score
+FROM edges
+WHERE (5 * LEAST(1.0, w_coauthor) + 1 * title_cos
+       + 4 * LEAST(1.0, w_venue)) / 10 > 0.20
+   OR (title_cos >= 0.80 AND w_title > 0)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -724,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_cluster_report": q26_cluster_report,
         "q27_singleton_topup": q27_singleton_topup,
         "q28_ghac_parity": q28_ghac_parity,
+        "q29_er_edges": q29_er_edges,
+        "q30_er_matches": q30_er_matches,
     }
 
 
@@ -751,4 +868,6 @@ def oracle_sql() -> dict[str, str]:
         "q25_majority_assignment": Q25_SQL,
         "q26_cluster_report": Q26_SQL,
         "q27_singleton_topup": Q27_SQL,
+        "q29_er_edges": Q29_SQL,
+        "q30_er_matches": Q30_SQL,
     }

@@ -45,6 +45,13 @@ class PipelineConfig:
                                      # reference tau=0.9 applies to sigmoid(dot)
                                      # of learned embeds, not raw fusion scores
     min_title_overlap: int = 2       # name_disambiguation.py:971-973
+    # shared-token minimum for a title_cos edge to exist at all;
+    # min_title_overlap above gates only the parity weight w_title.
+    # 1 (default) keeps single-token IDF cosines: measured +1.7
+    # macro-F1 / +6.7 precision on the reference's labeled AMiner
+    # corpus (fixed-k GHAC), because without them non-matching pairs
+    # tie at sim 0 and average linkage merges arbitrarily.
+    min_title_cos_overlap: int = 1
     # title-only pairs match when IDF-cosine >= this. Must stay high:
     # one false pair lets transitive closure merge two whole entities.
     # 0.8 requires most of both titles' idf mass to agree — generic

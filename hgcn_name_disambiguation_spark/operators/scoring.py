@@ -168,7 +168,14 @@ def threshold_matches(
             )
             cond = cond & ~solo_ve
     if "title_cos" in have:
-        cond = cond | (F.col("title_cos") >= config.strong_title_cos)
+        strong = F.col("title_cos") >= config.strong_title_cos
+        if "w_title" in have:
+            # rescue needs >= min_title_overlap shared tokens (w_title
+            # is zeroed below that bound): a single shared token can
+            # dominate two short titles' idf mass and fake a strong
+            # cosine — one word is never enough to merge on alone.
+            strong = strong & (F.col("w_title") > 0)
+        cond = cond | strong
     return scored.where(cond).select(
         "block_key", "id_a", "id_b", F.col(score_col).alias("score")
     )

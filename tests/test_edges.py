@@ -77,6 +77,40 @@ def test_title_edges_min_overlap(tiny_pubs):
     assert got == {("ann lee", "p1", "p2"): 2.0}
 
 
+def test_title_single_token_cos_edge(spark):
+    """min_title_cos_overlap=1 (default): a pair sharing exactly ONE
+    non-hot token gets a title_cos edge but w_title stays 0.0 (the
+    reference's Gt edge needs >= min_title_overlap tokens —
+    name_disambiguation.py:971-973). The strong-title rescue in
+    threshold_matches must NOT fire on it (w_title == 0)."""
+    records = [
+        {"block": "mei xu", "pub_id": "r1", "title": "zeolite synthesis",
+         "year": 2001, "authors": ["mei xu"], "venue": "a",
+         "org": "null", "label": 0},
+        {"block": "mei xu", "pub_id": "r2", "title": "zeolite adsorption",
+         "year": 2002, "authors": ["mei xu"], "venue": "b",
+         "org": "null", "label": 0},
+    ]
+    pubs = parse_publications(_mk(spark, records))
+    rows = title_edges(pubs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == ("r1", "r2")
+    assert r.w_title == 0.0
+    assert 0.0 < r.title_cos < 1.0
+    # rescue gate: even a fabricated strong cosine must not rescue a
+    # single-token pair
+    from hgcn_name_disambiguation_spark.operators.scoring import (
+        fuse_scores, threshold_matches,
+    )
+    scored = fuse_scores(combined_edges(pubs))
+    assert threshold_matches(scored).count() == 0
+
+    # legacy behavior restorable: min_title_cos_overlap=2 drops the row
+    cfg = PipelineConfig(min_title_cos_overlap=2)
+    assert title_edges(pubs, cfg).count() == 0
+
+
 def test_combined_edges_fuses_relations(tiny_pubs):
     rows = combined_edges(tiny_pubs).collect()
     got = {(r.block_key, r.id_a, r.id_b): (r.w_coauthor, r.w_title, r.w_venue)

@@ -32,6 +32,7 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG  # noqa: E402
 from hgcn_name_disambiguation_spark.fixtures.reference_corpus import (  # noqa: E402
     load_reference_repo_files,
+    reference_archived_results,
 )
 from hgcn_name_disambiguation_spark.plans.pipeline import run_pipeline  # noqa: E402
 
@@ -64,6 +65,16 @@ def main(argv=None) -> int:
     ap.add_argument("--names", default=None, help="comma-separated subset")
     ap.add_argument("--markdown", default=None)
     ap.add_argument(
+        "--mode",
+        choices=("cc", "ghac"),
+        default="cc",
+        help="cc = unsupervised threshold+connected-components (the "
+        "engine's primary path); ghac = per-block fixed-k HAC with k "
+        "from truth labels — the reference's own AMiner 'classify' "
+        "mode, and the apples-to-apples setting for comparing against "
+        "its archived experimental-results numbers",
+    )
+    ap.add_argument(
         "--set",
         action="append",
         default=[],
@@ -91,12 +102,36 @@ def main(argv=None) -> int:
         names=args.names.split(",") if args.names else None,
     )
     result = run_pipeline(repo_files, cfg)
+    if args.mode == "ghac":
+        from pyspark.sql import functions as FF
+
+        from hgcn_name_disambiguation_spark.operators.evaluate import (
+            pairwise_metrics,
+        )
+        from hgcn_name_disambiguation_spark.operators.parity import (
+            ghac_clusters,
+        )
+
+        g = ghac_clusters(result.pubs, result.scored, cfg, k_from_labels=True)
+        cl = g.join(
+            result.pubs.select("block_key", "pub_id", "label"),
+            ["block_key", "pub_id"],
+        ).select(
+            "block_key",
+            "pub_id",
+            "label",
+            FF.col("hac_cluster").cast("string").alias("cluster_id"),
+        )
+        metrics = pairwise_metrics(cl)
+        n_pubs = cl.count()
+    else:
+        metrics = result.metrics
+        n_pubs = result.clustered.count()
     per_block = (
-        result.metrics.select("block_key", "precision", "recall", "f1")
+        metrics.select("block_key", "precision", "recall", "f1")
         .orderBy("block_key")
         .collect()
     )
-    n_pubs = result.clustered.count()
     wall = time.perf_counter() - t0
 
     # block_key is the normalized (lowercased first+last) form
@@ -104,10 +139,42 @@ def main(argv=None) -> int:
     avg = lambda k: (  # noqa: E731
         sum(getattr(r, k) for r in per_block) / len(per_block)
     )
+
+    # the reference's own archived AMiner runs, matched by normalized
+    # block key (same first+last normalization as the blocking key)
+    import re as _re
+
+    def _key(name: str) -> str:
+        s = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]+", " ", name.lower())).strip()
+        p = s.split(" ")
+        return s if len(p) <= 1 else f"{p[0]} {p[-1]}"
+
+    archived = {_key(n): v for n, v in reference_archived_results().items()}
+    matched = [(b, rows[b], archived[b]) for b in rows if b in archived]
+    ref_cmp = None
+    if matched:
+        m_avg = lambda i: sum(m[2][i] for m in matched) / len(matched)  # noqa: E731
+        o_avg = lambda k: (  # noqa: E731
+            sum(getattr(m[1], k) for m in matched) / len(matched)
+        )
+        ref_cmp = {
+            "n_matched_blocks": len(matched),
+            "ours": {
+                "P": round(o_avg("precision"), 4),
+                "R": round(o_avg("recall"), 4),
+                "F1": round(o_avg("f1"), 4),
+            },
+            "reference_archived": {
+                "P": round(m_avg(0), 4),
+                "R": round(m_avg(1), 4),
+                "F1": round(m_avg(2), 4),
+            },
+        }
     headline = {
         "metric": "macro_f1_reference_corpus",
         "value": round(avg("f1"), 4),
         "unit": "f1",
+        "mode": args.mode,
         "n_blocks": len(per_block),
         "n_pubs": n_pubs,
         "avg_precision": round(avg("precision"), 4),
@@ -115,6 +182,7 @@ def main(argv=None) -> int:
         "threshold": cfg.match_threshold,
         "enrich": cfg.enrich,
         "wall_s": round(wall, 1),
+        "vs_reference_archived": ref_cmp,
         "published": {
             name: {
                 "reference_f1": ref,
@@ -134,7 +202,8 @@ def main(argv=None) -> int:
         lines = [
             "# REFERENCE_EVAL — pipeline F1 on the reference's real labeled corpora",
             "",
-            f"Config: threshold={cfg.match_threshold}, enrich={cfg.enrich}, "
+            f"Config: mode={args.mode}, threshold={cfg.match_threshold}, "
+            f"enrich={cfg.enrich}, "
             f"subdirs={args.subdirs}. {len(per_block)} blocks, {n_pubs} pubs, "
             f"{wall:.0f}s wall.",
             "",
@@ -143,11 +212,29 @@ def main(argv=None) -> int:
             f"(reference publishes avg F1 {REFERENCE_AVG_F1} on its 3-name "
             "OpenAlex eval — result/AM_nok.csv)",
             "",
-            "| block | precision | recall | f1 | reference f1 |",
+        ]
+        if ref_cmp:
+            o, a = ref_cmp["ours"], ref_cmp["reference_archived"]
+            lines += [
+                f"On the {ref_cmp['n_matched_blocks']} AMiner blocks where the "
+                "reference repo archives its own predicted clustering "
+                "(`experimental-results/{name}_output.txt` vs truth "
+                "`{name}_ans.txt`):",
+                "",
+                "| run | P | R | F1 |",
+                "|---|---|---|---|",
+                f"| this engine ({args.mode}) | {o['P']} | {o['R']} | {o['F1']} |",
+                f"| reference archived | {a['P']} | {a['R']} | {a['F1']} |",
+                "",
+            ]
+        lines += [
+            "| block | precision | recall | f1 | reference archived f1 |",
             "|---|---|---|---|---|",
         ]
         for r in per_block:
             ref = REFERENCE_PUBLISHED.get(r.block_key)
+            if ref is None and r.block_key in archived:
+                ref = round(archived[r.block_key][2], 4)
             lines.append(
                 f"| {r.block_key} | {r.precision:.4f} | {r.recall:.4f} | "
                 f"{r.f1:.4f} | {ref if ref is not None else '—'} |"
