@@ -96,7 +96,13 @@ class PipelineConfig:
 
     # --- connected components ---
     cc_max_iterations: int = 25
-    cc_checkpoint_every: int = 3
+    # localCheckpoint cadence (rounds): 1 = truncate lineage eagerly
+    # every round — measured fastest in local mode (every=3 with
+    # persist() in between cost +2s/+38% on the sf0.1 flagship CC: the
+    # deeper in-between plans outweigh the saved checkpoint I/O here).
+    # On a real cluster with reliable-checkpoint-to-HDFS costs, raise
+    # it to trade plan depth for checkpoint traffic.
+    cc_checkpoint_every: int = 1
 
     # --- cluster-level agglomeration (clustering.refine_clusters) ---
     # rounds of cluster-pair merging on aggregated (incl. sub-threshold)

@@ -283,19 +283,31 @@ def title_edges(
         .join(block_sizes, "block_key")
         .withColumn("idf", F.log((F.col("n_block") + 1.0) / F.col("df")))
     )
-    norms = weighted.groupBy("block_key", "pub_id").agg(
-        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
-    )
-
-    tok_index = weighted.select("block_key", "tok", "pub_id", "idf", "df")
+    # Per-pub idf-vector norm INLINE via a window (same shuffle key a
+    # separate groupBy branch would use) so it rides the self-join as
+    # payload. The alternative — a norms frame joined back onto the
+    # aggregated pairs twice — re-executes the whole index subtree two
+    # more times (measured 3x query cost at sf0.1; Catalyst only
+    # reuses exchanges for canonically identical subplans, and the
+    # post-agg join branches aren't).
+    norm_w = Window.partitionBy("block_key", "pub_id")
+    tok_index = weighted.withColumn(
+        "norm", F.sqrt(F.sum(F.col("idf") * F.col("idf")).over(norm_w))
+    ).select("block_key", "tok", "pub_id", "idf", "norm", "df")
     pairs = _pairs_from_index(
-        tok_index, ["tok"], payload_cols=("idf",), config=config, df_col="df"
+        tok_index,
+        ["tok"],
+        payload_cols=("idf", "norm"),
+        config=config,
+        df_col="df",
     ).withColumn("dot_term", F.col("idf_a") * F.col("idf_b"))
-    agg = (
+    return (
         pairs.groupBy("block_key", "id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("double").alias("overlap"),
             F.sum("dot_term").alias("dot"),
+            F.first("norm_a").alias("norm_a"),
+            F.first("norm_b").alias("norm_b"),
         )
         .where(F.col("overlap") >= max(1, config.min_title_cos_overlap))
         .withColumn(
@@ -305,16 +317,6 @@ def title_edges(
                 F.col("overlap"),
             ).otherwise(F.lit(0.0)),
         )
-    )
-    na = norms.select(
-        "block_key", F.col("pub_id").alias("id_a"), F.col("norm").alias("norm_a")
-    )
-    nb = norms.select(
-        "block_key", F.col("pub_id").alias("id_b"), F.col("norm").alias("norm_b")
-    )
-    return (
-        agg.join(na, ["block_key", "id_a"])
-        .join(nb, ["block_key", "id_b"])
         .withColumn(
             "title_cos",
             F.when(
