@@ -314,32 +314,103 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    paired_chunks: bool | None = None,
+    auto_paired_threshold: int = 20_000_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Pigeonhole: split 64 bits into 4 x 16-bit chunks; any pair within
-    Hamming 3 agrees exactly on >= 1 chunk -> equi-join per chunk
-    (4 shuffle joins on 16-bit keys), then exact Hamming verify via
-    bit_count(xor). Never all-pairs.
+    Two pigeonhole index shapes, identical results (exact Hamming
+    verify either way — asserted equivalent by test):
+
+    - ``paired_chunks=False`` — 4 x 16-bit chunks; a pair within
+      Hamming 3 agrees exactly on >= 1 chunk. 4 x 2^16 bucket keys:
+      at n docs, expected bucket size n/65k -> within-bucket C(.,2)
+      work grows ~(n/65k)^2. Right up to ~10^7-10^8 docs.
+    - ``paired_chunks=True``  — 6 chunks (11/11/11/11/10/10 bits);
+      <= 3 flipped bits leave >= 3 chunks clean, so every qualifying
+      pair agrees exactly on >= C(3,2) = 3 of the C(6,2) = 15 chunk
+      PAIRS. Join key = (combo, bits_i, bits_j): 15 x 2^21-2^22
+      buckets — 1000x more keys for 3.75x replication, pushing the
+      same within-bucket blowup out to ~10^10-10^11 docs. This is the
+      hierarchical-chunking scale path (HmSearch-style pigeonhole over
+      chunk combinations, published technique).
+
+    ``paired_chunks=None`` (default) picks by corpus size (one count()
+    action) at ``auto_paired_threshold``. max_hamming > 3 requires the
+    4-chunk shape to stay exhaustive (4 chunks pigeonhole Hamming<=3;
+    6-choose-2 covers <=3) — asserted.
     """
     sh = simhash_table(df, id_col, text_col)
-    chunks = sh.select(
-        "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    if paired_chunks is None:
+        paired_chunks = (
+            max_hamming <= 3 and df.count() >= auto_paired_threshold
+        )
+    if paired_chunks and max_hamming > 3:
+        raise ValueError(
+            "paired_chunks indexes guarantee recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+
+    if paired_chunks:
+        # 6 sub-chunks: widths 11,11,11,11,10,10 (sum 64)
+        widths = [11, 11, 11, 11, 10, 10]
+        offs, o = [], 0
+        for w in widths:
+            offs.append(o)
+            o += w
+        sub = [
+            F.shiftright("sim", offs[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            .cast("long")
+            for c in range(6)
+        ]
+        combos = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        chunks = sh.select(
+            "doc_id",
+            "sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("chunk"),
+                            # one 22-bit composite key per chunk pair
+                            (
+                                F.shiftleft(sub[i], 11).bitwiseOR(sub[j])
+                            ).alias("ckey"),
+                        )
+                        for ci, (i, j) in enumerate(combos)
+                    ]
+                )
+            ).alias("cc"),
+        ).select(
+            "doc_id",
+            "sim",
+            F.col("cc.chunk").alias("chunk"),
+            F.col("cc.ckey").alias("ckey"),
+        )
+    else:
+        chunks = sh.select(
+            "doc_id",
+            "sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright("sim", c * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("ckey"),
+                        )
+                        for c in range(4)
+                    ]
+                )
+            ).alias("cc"),
+        ).select(
+            "doc_id",
+            "sim",
+            F.col("cc.chunk").alias("chunk"),
+            F.col("cc.ckey").alias("ckey"),
+        )
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
@@ -365,47 +436,85 @@ def simhash_pairs(
     )
 
 
+def _hyperplane(seed: int, table: int, i: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]
+    (pure integer arithmetic on (seed, table, i, j) — no RNG state,
+    resume-safe)."""
+    return [
+        (
+            ((seed * 1_000_003 + table * 7_919_0001 + i * 10_007 + j * 101)
+             % 2_000_003)
+            / 1_000_001.5
+        )
+        - 1.0
+        for j in range(dim)
+    ]
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
+    num_tables: int = 1,
     seed: int = 42,
+    target_bucket_size: int = 512,
 ) -> DataFrame:
     """Embedding-cosine near-dups, LSH-bucketed.
 
-    Bucket = sign bits of dot(v, r_i) for num_planes seeded
-    pseudo-random hyperplanes (deterministic from seed — r_i components
-    derive from xxhash64-free pure arithmetic on (seed,i,j); no RNG
-    state). Pairs only within a bucket; exact cosine verify via
-    zip_with/aggregate — built-ins, no UDF.
+    Bucket = sign bits of dot(v, r_i) over num_planes seeded
+    hyperplanes; pairs only within a bucket; exact cosine verify via
+    zip_with/aggregate — built-ins, no UDF, so precision is exact and
+    only recall depends on the index.
 
-    Near-identical vectors (cos >= 0.95) agree on all sign bits with
-    high probability; recall can be raised by multi-probe (num_tables
-    — future work, same pattern).
+    ``num_planes=None`` (default) sizes the index FROM THE DATA:
+    planes = clamp(8, 24, ceil(log2(n / target_bucket_size))) — one
+    count() action. A fixed plane count is a scale-killer: 8 planes =
+    256 buckets forever, so within-bucket candidate work grows as
+    (n/256)^2; sizing planes with log2(n) keeps expected bucket size ~
+    target_bucket_size and within-bucket work ~linear in n.
+
+    More planes lower per-pair bucket-collision recall (p_pair =
+    (1 - theta/pi)^planes, theta = arccos(threshold); at threshold
+    0.95, p ~ 0.94/plane -> 0.6 at 8 planes, 0.23 at 24). Raise
+    ``num_tables`` to recover it: tables use independent plane sets
+    and recall = 1 - (1 - p)^tables; candidates are deduped before the
+    exact verify, so extra tables cost index size, never correctness.
     """
     dim = len(df.select(vec_col).first()[0])
-    # deterministic hyperplanes: r[i][j] in [-1,1] via integer hashing
-    planes = [
-        [(((seed * 1_000_003 + i * 10_007 + j * 101) % 2_000_003) / 1_000_001.5) - 1.0
-         for j in range(dim)]
-        for i in range(num_planes)
-    ]
+    if num_planes is None:
+        import math
+
+        n = df.count()
+        num_planes = max(
+            8, min(24, math.ceil(math.log2(max(2, n / target_bucket_size))))
+        )
 
     v = F.col(vec_col)
-    sign_bits = []
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, arr, lambda a_, b_: a_ * b_),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    tables = []
+    for t in range(num_tables):
+        sign_bits = []
+        for i in range(num_planes):
+            arr = F.array(
+                *[F.lit(float(x)) for x in _hyperplane(seed, t, i, dim)]
+            )
+            dot = F.aggregate(
+                F.zip_with(v, arr, lambda a_, b_: a_ * b_),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sign_bits.append(
+                F.when(dot >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+            )
+        bucket = sign_bits[0]
+        for sb in sign_bits[1:]:
+            bucket = bucket + sb
+        # table id folded into the key so one union'd index serves all
+        # tables with a single self-join
+        tables.append(
+            F.struct(F.lit(t).alias("t"), bucket.alias("b")).alias("tb")
         )
-        sign_bits.append(F.when(dot >= 0, F.lit(2 ** i)).otherwise(F.lit(0)))
-    bucket = sign_bits[0]
-    for sb in sign_bits[1:]:
-        bucket = bucket + sb
 
     norm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -413,25 +522,36 @@ def embedding_neardup_pairs(
     vecs = df.select(
         F.col(id_col).alias("vid"),
         v.alias("vec"),
-        bucket.alias("bucket"),
+        F.explode(F.array(*tables)).alias("tb"),
         norm.alias("norm"),
     )
     a, b = vecs.alias("a"), vecs.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vid") < F.col("b.vid")),
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tb") == F.col("b.tb"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot_ab = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot_ab / (F.col("a.norm") * F.col("b.norm"))
+    cos = dot_ab / (F.col("norm_a") * F.col("norm_b"))
     return (
         cands.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(cos, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

@@ -223,14 +223,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_tables: int = 4,
-    num_planes: int = 6,
+    num_planes: int | None = 6,
     seed: int = 42,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: equi-join on (table, sign-bucket) across
     `num_tables` independent hyperplane sets, exact-cosine rescore of
     the candidate union, per-query window. Shuffle key cardinality =
-    num_tables * 2^num_planes — tunable to executor count."""
+    num_tables * 2^num_planes.
+
+    ``num_planes=None`` sizes the tables FROM THE DATA (one count()):
+    planes = clamp(6, 24, ceil(log2(n / target_bucket_size))), keeping
+    expected bucket size ~ target_bucket_size so candidate volume per
+    query stays flat as the corpus grows — a fixed plane count caps
+    total buckets and degenerates toward brute force at 100x data.
+    Recall per extra plane drops geometrically; raise num_tables in
+    step (recall = 1-(1-p^planes)^tables, p = 1 - arccos(cos)/pi)."""
     dim = len(corpus.select(vec_col).first()[0])
+    if num_planes is None:
+        import math
+
+        n = corpus.count()
+        num_planes = max(
+            6, min(24, math.ceil(math.log2(max(2, n / target_bucket_size))))
+        )
     tables = _hyperplanes(num_tables, num_planes, dim, seed)
 
     def bucketize(df, idc, vecc, out_id):

