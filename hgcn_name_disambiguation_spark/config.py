@@ -107,8 +107,20 @@ class PipelineConfig:
     # --- cluster-level agglomeration (clustering.refine_clusters) ---
     # rounds of cluster-pair merging on aggregated (incl. sub-threshold)
     # pair evidence; 0 disables. affinity = sum(scores)/min(|A|,|B|).
+    # OFF by default — refine is an opt-in recall lever whose merge
+    # threshold is corpus-density-dependent: on the reference's SPARSE
+    # labeled AMiner blocks one round at tau 0.10 is the measured
+    # macro-F1 peak (0.767 -> 0.779; R +3.7 for P -1.6), but on
+    # dense-evidence corpora (the synthetic fixtures) the same setting
+    # over-merges catastrophically (block precision 1.0 -> 0.15)
+    # because sum-of-sub-threshold-evidence normalized by the smaller
+    # cluster grows with evidence density, not match probability.
+    # Calibrate cluster_merge_tau per corpus before enabling.
     cluster_refine_rounds: int = 0
-    cluster_merge_tau: float = 0.40
+    cluster_merge_tau: float = 0.10
+    # a cluster-pair merge additionally needs >= this many distinct
+    # cross pair-edges (corroboration; 1 disables the gate).
+    cluster_merge_min_edges: int = 2
 
     # --- misc ---
     stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)

@@ -147,8 +147,13 @@ def refine_clusters(
                        / min(|A|, |B|)
 
     min-normalization = "per member of the smaller cluster, how much
-    aggregate evidence points across" — scale-free in block size; a
-    mega-cluster cannot swallow a small one on volume alone. Everything
+    aggregate evidence points across" — a mega-cluster cannot swallow a
+    small one on volume alone. CAVEAT: the statistic still grows with
+    EVIDENCE DENSITY, not just match probability, so
+    ``cluster_merge_tau`` is corpus-dependent — 0.10 is the measured
+    peak on the sparse AMiner corpus but over-merges the dense
+    synthetic fixtures badly; hence rounds defaults to 0 (see config).
+    ``cluster_merge_min_edges`` adds a corroboration floor. Everything
     is hash aggregation on (block, cluster_a, cluster_b) — bounded by
     the scored-pair count, never n^2 in cluster sizes. Repeats
     ``config.cluster_refine_rounds`` times (sizes/affinities recomputed
@@ -186,7 +191,8 @@ def refine_clusters(
             F.count(F.lit(1)).alias("sz")
         )
         agg = cross.groupBy("block_key", "ca", "cb").agg(
-            F.sum("score").alias("s")
+            F.sum("score").alias("s"),
+            F.count(F.lit(1)).alias("n_edges"),
         )
         agg = (
             agg.join(
@@ -209,7 +215,10 @@ def refine_clusters(
                 "affinity", F.col("s") / F.least("na", "nb")
             )
         )
-        merges = agg.where(F.col("affinity") >= config.cluster_merge_tau)
+        merges = agg.where(
+            (F.col("affinity") >= config.cluster_merge_tau)
+            & (F.col("n_edges") >= config.cluster_merge_min_edges)
+        )
         if merges.isEmpty():
             break
         node = lambda c: F.concat_ws(_SEP, F.col("block_key"), c)  # noqa: E731
