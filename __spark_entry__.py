@@ -570,6 +570,15 @@ def q24_video_frames(spark, sf):
     return sample_video_frames(media, every_ms=1000)
 
 
+# fake_media_table is deterministic (video rows = every 3rd id,
+# duration 5000ms), so the frame-sampling explode IS SQL-checkable.
+Q24_SQL = """
+SELECT printf('m%04d', CAST(i AS INT)) AS media_id,
+       CAST(f AS INT) AS frame_ms
+FROM generate_series(2, 47, 3) t(i), generate_series(0, 4999, 1000) g(f)
+"""
+
+
 def _docs_clustered(spark, sf, mod: int) -> DataFrame:
     """documents mapped onto the report operators' input shape with a
     deterministic synthetic clustering (doc_id % mod) so the exact
@@ -863,8 +872,10 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # q18-q24: iterative CC / seeded-LSH / mapInPandas media ops —
-        # rows-only checks by design.
+        # q18-q23: iterative CC / seeded-LSH / mapInPandas media ops —
+        # rows-only checks by design (q23's sha256-of-BLOB payload is
+        # not expressible in DuckDB's VARCHAR-only sha256).
+        "q24_video_frames": Q24_SQL,
         "q25_majority_assignment": Q25_SQL,
         "q26_cluster_report": Q26_SQL,
         "q27_singleton_topup": Q27_SQL,
