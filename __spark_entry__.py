@@ -540,6 +540,63 @@ def q21_knn_lsh(spark, sf):
     return lsh_topk(e, q, k=5, num_tables=4, num_planes=6)
 
 
+def _q21_sql() -> str:
+    """LSH top-k oracle, generated from the SAME deterministic
+    hyperplane constants the operator uses (similarity._hyperplanes is
+    pure integer arithmetic — no RNG), so DuckDB reproduces the exact
+    bucket assignment, candidate union, and rescore ranking."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    tables = _hyperplanes(num_tables=4, num_planes=6, dim=64, seed=42)
+
+    def bucket(src: str) -> str:
+        per_table = []
+        for t, planes in enumerate(tables):
+            bits = []
+            for i, plane in enumerate(planes):
+                arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+                bits.append(
+                    f"(CASE WHEN list_dot_product(emb, {arr}) >= 0 "
+                    f"THEN {2 ** i} ELSE 0 END)"
+                )
+            per_table.append(
+                f"SELECT {src}, {t} AS tbl, "
+                + " + ".join(bits)
+                + " AS bkt FROM {tbl}"
+            )
+        return "\nUNION ALL\n".join(per_table)
+
+    cb = bucket("vec_id, emb").replace("{tbl}", "c")
+    qb = bucket("query_id, emb").replace("{tbl}", "q")
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 10),
+cb AS ({cb}),
+qb AS ({qb}),
+cands AS (
+  SELECT DISTINCT qb.query_id, qb.emb AS qe, cb.vec_id AS nbr_id,
+         cb.emb AS ne
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt),
+scored AS (
+  SELECT query_id, nbr_id,
+         ROUND(list_dot_product(qe, ne)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(ne, ne))), 6) AS cosine
+  FROM cands)
+SELECT query_id, nbr_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+Q21_SQL = _q21_sql()
+
+
 def q22_knn_ivf(spark, sf):
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -872,9 +929,11 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # q18-q23: iterative CC / seeded-LSH / mapInPandas media ops —
-        # rows-only checks by design (q23's sha256-of-BLOB payload is
-        # not expressible in DuckDB's VARCHAR-only sha256).
+        # q18-q20, q22, q23: iterative CC / xxhash64-seeded LSH /
+        # mapInPandas media ops — rows-only checks by design (q23's
+        # sha256-of-BLOB payload is not expressible in DuckDB's
+        # VARCHAR-only sha256).
+        "q21_knn_lsh": Q21_SQL,
         "q24_video_frames": Q24_SQL,
         "q25_majority_assignment": Q25_SQL,
         "q26_cluster_report": Q26_SQL,

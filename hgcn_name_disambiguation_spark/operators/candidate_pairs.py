@@ -226,7 +226,14 @@ def org_edges(
     idx = (
         pubs.where(F.col("org").isNotNull())
         .select("block_key", "pub_id", org_norm.alias("org"))
-        .where((F.col("org") != "") & (F.col("org") != "null") & (F.length("org") > 3))
+        .where(
+            (F.length("org") > 3)
+            # placeholder affiliations are NOT evidence: the AMiner
+            # corpus carries 1476 literal "Unknown" orgs — treating
+            # them as equal would weld every unknown-org pub in a
+            # block into one false 0.4-score clique.
+            & ~F.col("org").isin(*config.venue_null_values)
+        )
     )
     idx, _ = _cap_hot_keys(idx, ["org"], config.max_org_df_per_block)
     pairs = _pairs_from_index(idx, ["org"], config=config, df_col="df")

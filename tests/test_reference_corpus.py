@@ -104,14 +104,30 @@ def test_ghac_fixed_k_floor(result):
     g = ghac_clusters(
         result.pubs, result.scored, DEFAULT_CONFIG, k_from_labels=True
     )
-    cl = g.join(
-        result.pubs.select("block_key", "pub_id", "label"),
-        ["block_key", "pub_id"],
-    ).select(
-        "block_key",
-        "pub_id",
-        "label",
-        F.col("hac_cluster").cast("string").alias("cluster_id"),
+    cl = (
+        g.join(
+            result.pubs.select("block_key", "pub_id", "label"),
+            ["block_key", "pub_id"],
+        )
+        .join(
+            result.clustered.select(
+                "block_key", "pub_id", F.col("cluster_id").alias("cc")
+            ),
+            ["block_key", "pub_id"],
+        )
+        .select(
+            "block_key",
+            "pub_id",
+            "label",
+            # operator contract: hac_cluster = -1 marks blocks above
+            # the dense cap — fall back to the CC assignment there
+            F.when(
+                F.col("hac_cluster") >= 0,
+                F.concat(F.lit("h"), F.col("hac_cluster")),
+            )
+            .otherwise(F.concat(F.lit("c"), F.col("cc")))
+            .alias("cluster_id"),
+        )
     )
     m = pairwise_metrics(cl).agg(F.avg("f1").alias("f")).first()
     assert m.f >= 0.70, f"GHAC macro F1 regressed: {m.f:.4f}"

@@ -381,6 +381,145 @@ def write_report(summary: dict, lo: dict, hi: dict, ratio: float) -> None:
     print(f"# wrote {path}", file=sys.stderr)
 
 
+# ---------------------------------------------------------------------------
+# focused map-phase probe: materialize the scored pair titles ONCE,
+# then time ONLY the shuffle-free Arrow JW map at each core count in
+# fresh JVMs (best-of-N). Isolates the component that replicates
+# per-executor on a real cluster from scoring-pipeline noise, and is
+# cheap enough (~2 min/run) to repeat until a quiet host window.
+# ---------------------------------------------------------------------------
+
+def map_prep(input_path: str, pairs_out: str) -> None:
+    # NOTE: runs under spark-submit (16g driver) — the 718k-row title
+    # side broadcasts and a default-heap local JVM OOMs building it.
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
+    from hgcn_name_disambiguation_spark.operators.candidate_pairs import (
+        combined_edges,
+    )
+    from pyspark.sql import SparkSession
+
+    from hgcn_name_disambiguation_spark.operators.parse import (
+        parse_publications,
+    )
+
+    spark = (
+        SparkSession.builder.appName("map-prep")  # master from submit
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pubs = parse_publications(spark.read.parquet(input_path), DEFAULT_CONFIG)
+    edges = combined_edges(pubs, DEFAULT_CONFIG)
+    attrs = pubs.select("block_key", "pub_id", "title")
+    pair_titles = (
+        edges.select("block_key", "id_a", "id_b")
+        .join(attrs.withColumnRenamed("pub_id", "id_a")
+              .withColumnRenamed("title", "title_a"), ["block_key", "id_a"])
+        .join(attrs.withColumnRenamed("pub_id", "id_b")
+              .withColumnRenamed("title", "title_b"), ["block_key", "id_b"])
+        .select("title_a", "title_b")
+        .repartition(SHUFFLE_PARTITIONS * 2)
+    )
+    pair_titles.write.mode("overwrite").parquet(pairs_out)
+    print(f"# map-prep: {spark.read.parquet(pairs_out).count()} pairs "
+          f"-> {pairs_out}", file=sys.stderr)
+    spark.stop()
+
+
+def map_probe_once(pairs_path: str, json_out: str, label: str) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from hgcn_name_disambiguation_spark.functions.names import (
+        jaro_winkler_udf,
+    )
+
+    spark = (
+        SparkSession.builder.appName(f"map-probe-{label}")
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pairs = spark.read.parquet(pairs_path).persist()
+    n = pairs.count()
+    # warm python workers + Arrow path outside the timed region
+    pairs.limit(50_000).select(
+        F.sum(jaro_winkler_udf("title_a", "title_b"))
+    ).collect()
+    t0 = time.perf_counter()
+    pairs.select(F.sum(jaro_winkler_udf("title_a", "title_b"))).collect()
+    wall = time.perf_counter() - t0
+    out = {
+        "label": label,
+        "cores": spark.sparkContext.defaultParallelism,
+        "map_pairs": n,
+        "map_wall_s": round(wall, 3),
+        "map_pairs_per_sec": round(n / wall, 1),
+    }
+    with open(json_out, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def map_probe_orchestrate(args: argparse.Namespace) -> None:
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from build_dist import build
+
+    zip_path = build()
+    pairs_path = "/tmp/map_probe_pairs"
+    if args.regen or not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
+        subprocess.run(
+            [
+                "spark-submit", "--master", "local[32]",
+                "--driver-memory", "16g",
+                "--conf", "spark.local.dir=/dev/shm/spark-local",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "bench_scaling.py"),
+                "map-prep-run",
+                "--input", args.input or "/tmp/bench_scaling_input",
+                "--json-out", pairs_path,
+            ],
+            check=True, cwd=REPO,
+        )
+
+    cpu_levels = [int(c) for c in args.cpus.split(",")]
+    best: dict[int, dict] = {}
+    for rep in range(args.repeats):
+        for cpus in cpu_levels:  # interleave: same host window per pair
+            json_out = f"/tmp/map_probe_{cpus}_{rep}.json"
+            cmd = [
+                "spark-submit", "--master", f"local[{cpus}]",
+                "--driver-memory", "16g",
+                "--conf", "spark.local.dir=/dev/shm/spark-local",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "bench_scaling.py"),
+                "map-probe-run", "--input", pairs_path,
+                "--json-out", json_out, "--label", f"local[{cpus}]",
+            ]
+            subprocess.run(cmd, check=True, cwd=REPO)
+            with open(json_out) as f:
+                r = json.load(f)
+            if (cpus not in best
+                    or r["map_wall_s"] < best[cpus]["map_wall_s"]):
+                best[cpus] = r
+        lo, hi = best[cpu_levels[0]], best[cpu_levels[-1]]
+        ratio = hi["cores"] / lo["cores"]
+        eff = (hi["map_pairs_per_sec"] / lo["map_pairs_per_sec"]) / ratio
+        print(json.dumps({
+            "metric": "map_phase_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "after_repeats": rep + 1,
+            "lo": lo, "hi": hi,
+        }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="mode")
@@ -389,6 +528,17 @@ def main() -> None:
     runp.add_argument("--input", required=True)
     runp.add_argument("--json-out", required=True)
     runp.add_argument("--label", default="run")
+
+    mpp = sub.add_parser("map-probe-run")
+    mpp.add_argument("--input", required=True)
+    mpp.add_argument("--json-out", required=True)
+    mpp.add_argument("--label", default="run")
+
+    prep = sub.add_parser("map-prep-run")
+    prep.add_argument("--input", required=True)
+    prep.add_argument("--json-out", required=True)  # pairs output dir
+
+    sub.add_parser("map-probe")
 
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--blocks", type=int, default=12000)
@@ -401,6 +551,12 @@ def main() -> None:
     args = ap.parse_args()
     if args.mode == "run":
         run_once(args.input, args.json_out, args.label)
+    elif args.mode == "map-probe-run":
+        map_probe_once(args.input, args.json_out, args.label)
+    elif args.mode == "map-prep-run":
+        map_prep(args.input, args.json_out)
+    elif args.mode == "map-probe":
+        map_probe_orchestrate(args)
     else:
         orchestrate(args)
 

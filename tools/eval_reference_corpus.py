@@ -112,15 +112,42 @@ def main(argv=None) -> int:
             ghac_clusters,
         )
 
-        g = ghac_clusters(result.pubs, result.scored, cfg, k_from_labels=True)
-        cl = g.join(
-            result.pubs.select("block_key", "pub_id", "label"),
-            ["block_key", "pub_id"],
-        ).select(
-            "block_key",
-            "pub_id",
-            "label",
-            FF.col("hac_cluster").cast("string").alias("cluster_id"),
+        g = ghac_clusters(
+            result.pubs,
+            result.scored,
+            cfg,
+            k_from_labels=True,
+            # parity setting: the reference runs every block dense
+            # (its own laptop ceiling is ~10^4); the engine default
+            # (400) is the distributed-scale stance, not an eval rule.
+            max_block_for_dense=2000,
+        )
+        cl = (
+            g.join(
+                result.pubs.select("block_key", "pub_id", "label"),
+                ["block_key", "pub_id"],
+            )
+            .join(
+                result.clustered.select(
+                    "block_key", "pub_id",
+                    FF.col("cluster_id").alias("cc_cluster"),
+                ),
+                ["block_key", "pub_id"],
+            )
+            .select(
+                "block_key",
+                "pub_id",
+                "label",
+                # blocks above the dense cap return hac_cluster = -1:
+                # keep the distributed CC assignment there (the
+                # operator contract), NOT one giant -1 cluster.
+                FF.when(
+                    FF.col("hac_cluster") >= 0,
+                    FF.concat(FF.lit("h"), FF.col("hac_cluster")),
+                )
+                .otherwise(FF.concat(FF.lit("c"), FF.col("cc_cluster")))
+                .alias("cluster_id"),
+            )
         )
         metrics = pairwise_metrics(cl)
         n_pubs = cl.count()
