@@ -521,13 +521,121 @@ def q18_er_clusters(spark, sf):
 
 
 def q19_minhash_lsh(spark, sf):
+    """MinHash + banded LSH in md5 hash mode: same banding/verify
+    logic as the xxhash64 production path, but md5 exists in DuckDB so
+    the ENTIRE pipeline (shingling, 64 min-hashes, 16-band bucketing,
+    candidate join, agreement-fraction verify) is oracle-checked
+    bit-for-bit instead of rows-only."""
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, n=3, num_hashes=64, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(
+        d, n=3, num_hashes=64, bands=16, threshold=0.5, hash_mode="md5"
+    )
+
+
+def _q19_sql(n_hashes: int = 64, bands: int = 16, thr: float = 0.5) -> str:
+    rows = n_hashes // bands
+    hmins = ",\n       ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{bi * rows + j}" for j in range(rows))
+        + ")) AS bucket FROM sigs"
+        for bi in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+tok AS (SELECT doc_id, string_split(ntext, ' ') AS l FROM docs),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM tok),
+sh0 AS (
+  SELECT doc_id,
+         concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w)
+           AS shingle,
+         (lead(tok, 2) OVER w IS NOT NULL) AS fullsh
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE fullsh),
+sigs AS (
+  SELECT doc_id,
+       {hmins}
+  FROM sh GROUP BY doc_id),
+bandrows AS (
+  {band_sel}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a
+  JOIN bandrows b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       ROUND(({eq}) / {float(n_hashes)}, 6) AS est_jaccard
+FROM cands
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE ({eq}) / {float(n_hashes)} >= {thr}
+"""
+
+
+Q19_SQL = _q19_sql()
 
 
 def q20_simhash(spark, sf):
+    """SimHash near-dup in md5 hash mode (60-bit fingerprints, same
+    vote/pigeonhole algorithm as the xxhash64 production path) so the
+    pipeline is oracle-checked bit-for-bit — see dedup.simhash_table."""
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=3)
+    return simhash_pairs(
+        d, max_hamming=3, paired_chunks=False, hash_mode="md5"
+    )
+
+
+def _q20_sql() -> str:
+    hexmap = ", ".join(f"('{d}', {int(d, 16)})" for d in "0123456789abcdef")
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok FROM docs),
+th AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM toks),
+hexmap(d, v) AS (VALUES {hexmap}),
+digits AS (
+  SELECT th.doc_id, CAST(g.i AS INT) AS i, m.v
+  FROM th, generate_series(1, 15) g(i)
+  JOIN hexmap m ON m.d = substr(th.hx, 16 - CAST(g.i AS INT), 1)),
+bits AS (
+  SELECT doc_id, (i - 1) * 4 + CAST(bb AS INT) AS bit,
+         CASE WHEN (v >> CAST(bb AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM digits, generate_series(0, 3) b(bb)),
+votes AS (SELECT doc_id, bit, SUM(vote) AS s FROM bits GROUP BY 1, 2),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS sim
+  FROM votes GROUP BY 1),
+chunks AS (
+  SELECT doc_id, sim, CAST(c.c AS INT) AS chunk,
+         (sim >> (CAST(c.c AS INT) * 15)) & 32767 AS ckey
+  FROM sims, generate_series(0, 3) c(c)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sim_a, b.sim AS sim_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey
+              AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+Q20_SQL = _q20_sql()
 
 
 def q21_knn_lsh(spark, sf):
@@ -598,13 +706,69 @@ Q21_SQL = _q21_sql()
 
 
 def q22_knn_ivf(spark, sf):
+    """IVF ANN in md5 hash mode (same sampling/assignment/probing
+    algorithm as the xxhash64 production path) so the full pipeline is
+    oracle-checked — see similarity.ivf_topk."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, k=5, num_cells=16, nprobe=4)
+    return ivf_topk(e, q, k=5, num_cells=16, nprobe=4, hash_mode="md5")
+
+
+Q22_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+keyed AS (SELECT vec_id AS cid, emb AS cvec,
+                 md5('42:' || CAST(vec_id AS VARCHAR)) AS h
+          FROM v),
+-- centroid sample: first '0'*L hex-prefix slice (L = 3,2,1,0) holding
+-- >= 16 rows, then hash-min-16 of the slice (mirrors ivf_topk md5 mode)
+lvl AS (SELECT CASE
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '000%') >= 16 THEN 3
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '00%') >= 16 THEN 2
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '0%') >= 16 THEN 1
+          ELSE 0 END AS pl),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cid) - 1 AS cell, cvec
+  FROM keyed, lvl
+  WHERE substr(h, 1, pl) = repeat('0', pl)
+  ORDER BY h, cid LIMIT 16),
+-- nearest-centroid assignment; ties (rounded cos) break to the LARGER
+-- cell id, matching Spark's array_max over struct(cos, cell)
+scored_cells AS (
+  SELECT x.vec_id, x.emb, c.cell,
+         ROUND(list_dot_product(x.emb, c.cvec)
+               / (sqrt(list_dot_product(x.emb, x.emb))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+  FROM v x, cents c),
+assign AS (
+  SELECT vec_id AS nbr_id, emb AS cvec2, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell DESC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS qvec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell DESC) AS rn
+    FROM scored_cells WHERE vec_id < 10) WHERE rn <= 4),
+cands AS (
+  SELECT DISTINCT p.query_id, a.nbr_id, p.qvec, a.cvec2
+  FROM probes p JOIN assign a ON p.cell = a.cell)
+SELECT query_id, nbr_id, cosine, rank FROM (
+  SELECT query_id, nbr_id,
+         ROUND(list_dot_product(qvec, cvec2)
+               / (sqrt(list_dot_product(qvec, qvec))
+                  * sqrt(list_dot_product(cvec2, cvec2))), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(list_dot_product(qvec, cvec2)
+                              / (sqrt(list_dot_product(qvec, qvec))
+                                 * sqrt(list_dot_product(cvec2, cvec2))), 6)
+                              DESC, nbr_id ASC) AS rank
+  FROM cands)
+WHERE rank <= 5
+"""
 
 
 def q23_media_features(spark, sf):
@@ -929,11 +1093,14 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # q18-q20, q22, q23: iterative CC / xxhash64-seeded LSH /
-        # mapInPandas media ops — rows-only checks by design (q23's
-        # sha256-of-BLOB payload is not expressible in DuckDB's
-        # VARCHAR-only sha256).
+        # Only q18 (iterative CC), q23 (sha256-of-BLOB payload —
+        # DuckDB's sha256 is VARCHAR-only), and q28 (iterative HAC +
+        # modularity search) remain rows-only; every hash-based op
+        # runs in md5 hash mode here so DuckDB replicates it exactly.
+        "q19_minhash_lsh": Q19_SQL,
+        "q20_simhash": Q20_SQL,
         "q21_knn_lsh": Q21_SQL,
+        "q22_knn_ivf": Q22_SQL,
         "q24_video_frames": Q24_SQL,
         "q25_majority_assignment": Q25_SQL,
         "q26_cluster_report": Q26_SQL,

@@ -187,19 +187,34 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+    """(doc_id, sig ARRAY[num_hashes]) MinHash signatures.
 
-    h_i(shingle) = xxhash64(shingle, seed=i) — JVM hash, no Python.
+    hash_mode:
+    - ``xxhash64`` (default, production): h_i(shingle) =
+      xxhash64(i, shingle) — the fastest JVM hash; sig is
+      ARRAY<BIGINT>.
+    - ``md5``: h_i(shingle) = md5('i:' || shingle) as the 32-char hex
+      STRING; MIN over equal-length hex strings == numeric min, so the
+      algorithm is identical. ~2x slower, but md5 exists in DuckDB
+      (xxhash64 does not), making the whole MinHash+LSH pipeline
+      oracle-checkable bit-for-bit (q19).
+
     One shingle_index pass + one groupBy(min per seed): linear in
-    total shingles, whole-stage codegen'd.
+    total shingles, whole-stage codegen'd either way.
     """
+    if hash_mode == "xxhash64":
+        def h(i):
+            return F.xxhash64(F.lit(i), F.col("shingle"))
+    elif hash_mode == "md5":
+        def h(i):
+            return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     sh = shingle_index(df, id_col, text_col, n)
     mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -214,6 +229,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs + exact signature-similarity verify.
 
@@ -222,9 +238,22 @@ def minhash_lsh_pairs(
     only from band-bucket collisions (groupBy band hash — the shuffle
     key is (band, bucket), NEVER all-pairs), then estimated Jaccard =
     fraction of agreeing hashes filters to >= threshold.
+
+    ``hash_mode='md5'`` swaps every hash for md5 (same banding/verify
+    logic) so the full pipeline is DuckDB-oracle-checkable — see
+    minhash_signatures.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+
+    def band_bucket(bi):
+        elems = [
+            F.element_at("sig", bi * rows_per_band + j + 1)
+            for j in range(rows_per_band)
+        ]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
 
     band_rows = sigs.select(
         "doc_id",
@@ -234,12 +263,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", bi * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        band_bucket(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -275,19 +299,43 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_bits(hash_mode: str) -> int:
+    """64 bits from xxhash64; 60 bits (15 hex chars) from md5 — 15
+    nibbles keep the value inside a signed BIGINT with headroom and
+    divide evenly into 4 chunks for the Hamming-3 pigeonhole."""
+    return 64 if hash_mode == "xxhash64" else 60
+
+
 def simhash_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sim BIGINT) 64-bit SimHash of the token multiset.
+    """(doc_id, sim BIGINT) SimHash of the token multiset.
 
     Relational form: explode tokens once, hash each token once, then a
-    single hash-aggregate computing all 64 bit votes (64 conditional
-    sums over the same rows — one codegen'd pass, NOT 64 array scans;
-    an HOF-array formulation re-evaluates the tokenizer per pass)."""
+    single hash-aggregate computing all bit votes (one conditional sum
+    per bit over the same rows — one codegen'd pass, NOT per-bit array
+    scans; an HOF-array formulation re-evaluates the tokenizer per
+    pass).
+
+    ``hash_mode='md5'``: token hash = first 15 hex chars of md5 as a
+    60-bit integer (conv base 16) — same algorithm in a hash family
+    DuckDB also has, so the whole SimHash pipeline is
+    oracle-checkable (q20)."""
+    nbits = simhash_bits(hash_mode)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "md5":
+        toks = toks.withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -295,12 +343,12 @@ def simhash_table(
                     F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for b in range(64):
-        # set bit b via shift+OR (bit 63 would overflow an ANSI sum)
+    for b in range(nbits):
+        # set bit b via shift+OR (the top bit would overflow an ANSI sum)
         sim = sim.bitwiseOR(
             F.when(
                 F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
@@ -316,6 +364,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     paired_chunks: bool | None = None,
     auto_paired_threshold: int = 20_000_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -340,7 +389,8 @@ def simhash_pairs(
     4-chunk shape to stay exhaustive (4 chunks pigeonhole Hamming<=3;
     6-choose-2 covers <=3) — asserted.
     """
-    sh = simhash_table(df, id_col, text_col)
+    sh = simhash_table(df, id_col, text_col, hash_mode)
+    nbits = simhash_bits(hash_mode)
     if paired_chunks is None:
         paired_chunks = (
             max_hamming <= 3 and df.count() >= auto_paired_threshold
@@ -352,8 +402,8 @@ def simhash_pairs(
         )
 
     if paired_chunks:
-        # 6 sub-chunks: widths 11,11,11,11,10,10 (sum 64)
-        widths = [11, 11, 11, 11, 10, 10]
+        # 6 sub-chunks: widths 11,11,11,11,10,10 (sum 64) / 10x6 (60)
+        widths = [11, 11, 11, 11, 10, 10] if nbits == 64 else [10] * 6
         offs, o = [], 0
         for w in widths:
             offs.append(o)
@@ -397,8 +447,8 @@ def simhash_pairs(
                     *[
                         F.struct(
                             F.lit(c).alias("chunk"),
-                            F.shiftright("sim", c * 16)
-                            .bitwiseAND(F.lit(0xFFFF))
+                            F.shiftright("sim", c * (nbits // 4))
+                            .bitwiseAND(F.lit((1 << (nbits // 4)) - 1))
                             .alias("ckey"),
                         )
                         for c in range(4)

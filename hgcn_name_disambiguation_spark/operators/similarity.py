@@ -295,6 +295,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """IVF coarse quantization: centroids = num_cells deterministic
     corpus samples (seeded hash threshold — no RNG state, resume-safe);
@@ -302,30 +303,57 @@ def ivf_topk(
     `nprobe` nearest cells. Candidate set = union of probed cells.
 
     Centroid selection = hash-threshold FILTER (keep the 1/mod slice
-    of seeded xxhash64 values) + hash-min-k on the slice. The min-k
+    of seeded hash values) + hash-min-k on the slice. The min-k
     compiles to TakeOrderedAndProject — a per-partition heap of
     num_cells rows merged at the driver: NO shuffle, NO exchange, NO
     full-corpus sort (asserted by test on the physical plan). If the
-    corpus is too small to fill the slice, mod widens geometrically.
-    Result is the global hash-min-k of the slice — deterministic under
-    any partitioning/layout."""
-    keyed = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-    )
-    mod = 1 << 14
-    cents: list = []
-    while True:
-        cents = (
-            keyed.where(F.pmod("_h", F.lit(mod)) == 0)
-            .orderBy("_h", "cid")
-            .limit(num_cells)
-            .collect()
+    corpus is too small to fill the slice, the slice widens
+    geometrically. Result is the global hash-min-k of the slice —
+    deterministic under any partitioning/layout.
+
+    ``hash_mode='md5'`` keys the sample on md5 hex strings with
+    '000'/'00'/'0'/'' prefix slices instead of xxhash64 pmod — the
+    identical algorithm in a hash family DuckDB also has, making the
+    whole IVF pipeline (sampling, assignment, probing, rescore)
+    oracle-checkable (q22)."""
+    if hash_mode == "md5":
+        keyed = corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
         )
-        if len(cents) >= num_cells or mod == 1:
-            break
-        mod = max(1, mod >> 4)
+        cents = []
+        for pl in (3, 2, 1, 0):
+            sliced = (
+                keyed.where(F.substring("_h", 1, pl) == "0" * pl)
+                if pl
+                else keyed
+            )
+            cents = (
+                sliced.orderBy("_h", "cid").limit(num_cells).collect()
+            )
+            if len(cents) >= num_cells:
+                break
+    else:
+        keyed = corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        mod = 1 << 14
+        cents = []
+        while True:
+            cents = (
+                keyed.where(F.pmod("_h", F.lit(mod)) == 0)
+                .orderBy("_h", "cid")
+                .limit(num_cells)
+                .collect()
+            )
+            if len(cents) >= num_cells or mod == 1:
+                break
+            mod = max(1, mod >> 4)
     cent_vecs = [(i, [float(x) for x in r.cvec]) for i, r in enumerate(cents)]
 
     def cell_scores(vec: Column) -> Column:

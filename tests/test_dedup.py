@@ -180,3 +180,35 @@ def test_embedding_neardup_multitable_recall(spark):
     # auto sizing: small corpus -> 8 planes == 1-table baseline shape
     auto = embedding_neardup_pairs(df, threshold=0.999)
     assert auto.count() >= 0
+
+
+def test_minhash_md5_mode_matches_semantics(spark):
+    """md5 hash mode (the oracle-checkable family) runs the identical
+    banding/verify algorithm: near-dup docs collide and est_jaccard
+    approximates the true Jaccard regardless of hash family."""
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            _corpus(spark), threshold=0.5, hash_mode="md5"
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical docs
+    assert all(v >= 0.5 for v in pairs.values())
+
+
+def test_simhash_md5_mode(spark):
+    from hgcn_name_disambiguation_spark.operators.dedup import simhash_table
+
+    sims = {
+        r.doc_id: r.sim
+        for r in simhash_table(_corpus(spark), hash_mode="md5").collect()
+    }
+    assert sims[0] == sims[1] == sims[6]  # identical after normalize
+    assert all(0 <= v < (1 << 60) for v in sims.values())
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            _corpus(spark), max_hamming=3, hash_mode="md5"
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 6) in pairs
