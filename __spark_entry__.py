@@ -989,6 +989,35 @@ edges AS (
 """
 
 
+# The CC ALGORITHM is iterative large-star/small-star (not SQL), but
+# its RESULT — per-block transitive closure of the match graph, cluster
+# id = min pub_id — is oracle-checkable with a recursive CTE at sf0.01
+# scale. Matches come from the same edge CTE q29/q30 hash-check.
+Q18_SQL = _ER_EDGES_CTE.replace("WITH pubs", "WITH RECURSIVE pubs", 1) + """,
+matches AS (
+  SELECT block_key, id_a, id_b FROM edges
+  WHERE (5 * LEAST(1.0, w_coauthor) + 1 * title_cos
+         + 4 * LEAST(1.0, w_venue)) / 10 > 0.20
+     OR (title_cos >= 0.80 AND w_title > 0)),
+bi AS (
+  SELECT block_key, id_a AS a, id_b AS b FROM matches
+  UNION ALL
+  SELECT block_key, id_b AS a, id_a AS b FROM matches),
+allnodes AS (
+  SELECT lang AS block_key, CAST(doc_id AS VARCHAR) AS a FROM documents),
+reach(block_key, a, b) AS (
+  SELECT block_key, a, a FROM allnodes
+  UNION
+  SELECT r.block_key, r.a, e.b
+  FROM reach r JOIN bi e ON r.block_key = e.block_key AND r.b = e.a),
+comp AS (
+  SELECT block_key, a AS pub_id, MIN(b) AS cluster_id
+  FROM reach GROUP BY 1, 2)
+SELECT block_key, cluster_id, COUNT(*) AS n_docs
+FROM comp GROUP BY 1, 2
+"""
+
+
 def q29_er_edges(spark, sf):
     """J1-J4/T1/A1 oracle-checked: the combined sparse evidence graph
     (coauthor + venue + IDF-cosine title channels, hot-key caps) over
@@ -1093,10 +1122,12 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # Only q18 (iterative CC), q23 (sha256-of-BLOB payload —
-        # DuckDB's sha256 is VARCHAR-only), and q28 (iterative HAC +
-        # modularity search) remain rows-only; every hash-based op
-        # runs in md5 hash mode here so DuckDB replicates it exactly.
+        # Only q23 (sha256-of-BLOB payload — DuckDB's sha256 is
+        # VARCHAR-only) and q28 (iterative HAC + modularity search)
+        # remain rows-only; hash-based ops run in md5 hash mode and
+        # the CC RESULT is closure-checked recursively, so DuckDB
+        # replicates everything else exactly.
+        "q18_er_clusters": Q18_SQL,
         "q19_minhash_lsh": Q19_SQL,
         "q20_simhash": Q20_SQL,
         "q21_knn_lsh": Q21_SQL,
