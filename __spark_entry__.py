@@ -521,11 +521,19 @@ def q18_er_clusters(spark, sf):
 
 
 def q19_minhash_lsh(spark, sf):
+    """Production path (xxhash64 — fastest JVM hash, not available in
+    DuckDB, so rows-only here). The identical algorithm in md5 hash
+    mode is hash-checked cell-by-cell as q31."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def q31_minhash_lsh_md5(spark, sf):
     """MinHash + banded LSH in md5 hash mode: same banding/verify
-    logic as the xxhash64 production path, but md5 exists in DuckDB so
-    the ENTIRE pipeline (shingling, 64 min-hashes, 16-band bucketing,
-    candidate join, agreement-fraction verify) is oracle-checked
-    bit-for-bit instead of rows-only."""
+    logic as q19's xxhash64 production path, but md5 exists in DuckDB
+    so the ENTIRE pipeline (shingling, 64 min-hashes, 16-band
+    bucketing, candidate join, agreement-fraction verify) is
+    oracle-checked bit-for-bit."""
     d = _t(spark, sf, "documents")
     return minhash_lsh_pairs(
         d, n=3, num_hashes=64, bands=16, threshold=0.5, hash_mode="md5"
@@ -583,13 +591,21 @@ WHERE ({eq}) / {float(n_hashes)} >= {thr}
 """
 
 
-Q19_SQL = _q19_sql()
+Q31_SQL = _q19_sql()
 
 
 def q20_simhash(spark, sf):
+    """Production path (xxhash64, 64-bit — rows-only; the md5 twin is
+    hash-checked as q32)."""
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q32_simhash_md5(spark, sf):
     """SimHash near-dup in md5 hash mode (60-bit fingerprints, same
-    vote/pigeonhole algorithm as the xxhash64 production path) so the
-    pipeline is oracle-checked bit-for-bit — see dedup.simhash_table."""
+    vote/pigeonhole algorithm as q20's xxhash64 production path) so
+    the pipeline is oracle-checked bit-for-bit — see
+    dedup.simhash_table."""
     d = _t(spark, sf, "documents")
     return simhash_pairs(
         d, max_hamming=3, paired_chunks=False, hash_mode="md5"
@@ -635,7 +651,7 @@ FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 
-Q20_SQL = _q20_sql()
+Q32_SQL = _q20_sql()
 
 
 def q21_knn_lsh(spark, sf):
@@ -1100,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_ghac_parity": q28_ghac_parity,
         "q29_er_edges": q29_er_edges,
         "q30_er_matches": q30_er_matches,
+        "q31_minhash_lsh_md5": q31_minhash_lsh_md5,
+        "q32_simhash_md5": q32_simhash_md5,
     }
 
 
@@ -1122,14 +1140,12 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # Only q23 (sha256-of-BLOB payload — DuckDB's sha256 is
-        # VARCHAR-only) and q28 (iterative HAC + modularity search)
-        # remain rows-only; hash-based ops run in md5 hash mode and
-        # the CC RESULT is closure-checked recursively, so DuckDB
-        # replicates everything else exactly.
+        # Rows-only: q19/q20 (xxhash64 production paths — their md5
+        # twins q31/q32 ARE hash-checked), q23 (sha256-of-BLOB —
+        # DuckDB's sha256 is VARCHAR-only), q28 (iterative HAC +
+        # modularity search). The CC RESULT (q18) is closure-checked
+        # recursively; everything else replicates in DuckDB exactly.
         "q18_er_clusters": Q18_SQL,
-        "q19_minhash_lsh": Q19_SQL,
-        "q20_simhash": Q20_SQL,
         "q21_knn_lsh": Q21_SQL,
         "q22_knn_ivf": Q22_SQL,
         "q24_video_frames": Q24_SQL,
@@ -1138,4 +1154,6 @@ def oracle_sql() -> dict[str, str]:
         "q27_singleton_topup": Q27_SQL,
         "q29_er_edges": Q29_SQL,
         "q30_er_matches": Q30_SQL,
+        "q31_minhash_lsh_md5": Q31_SQL,
+        "q32_simhash_md5": Q32_SQL,
     }
