@@ -70,9 +70,13 @@ class PipelineConfig:
     use_stemming: bool = True        # name_disambiguation.py:847-848
     # Jaro-Winkler/Jaccard enrichment pass (scoring.enrich_scores):
     # re-scores pairs with string-sim features and thresholds on
-    # score_enriched. Off by default (the fused score alone hits the
-    # F1 bar on the calibrated corpora); jobs/disambiguate.py turns it
-    # on unless --no-enrich is passed.
+    # score_enriched. Corpus-density-dependent like refine (below):
+    # on the SPARSE labeled AMiner corpus it is worth +1.2 macro F1
+    # (0.769 -> 0.781, recall +1.7, precision flat — measured,
+    # REFERENCE_EVAL runs); on dense-evidence corpora the flat
+    # string-sim bonus pushes weak pairs over tau and block precision
+    # collapses (fixtures: 1.0 -> 0.18). Off by default;
+    # jobs/disambiguate.py turns it on unless --no-enrich is passed.
     enrich: bool = False
 
     # --- scale / skew controls ---
