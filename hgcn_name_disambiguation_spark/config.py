@@ -75,8 +75,8 @@ class PipelineConfig:
     # (0.769 -> 0.781, recall +1.7, precision flat — measured,
     # REFERENCE_EVAL runs); on dense-evidence corpora the flat
     # string-sim bonus pushes weak pairs over tau and block precision
-    # collapses (fixtures: 1.0 -> 0.18). Off by default;
-    # jobs/disambiguate.py turns it on unless --no-enrich is passed.
+    # collapses (fixtures: 1.0 -> 0.18). Off by default everywhere;
+    # jobs/disambiguate.py exposes it as the opt-in --enrich flag.
     enrich: bool = False
 
     # --- scale / skew controls ---

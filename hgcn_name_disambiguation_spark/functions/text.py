@@ -220,7 +220,11 @@ def stem_tokens(tokens: pd.Series) -> pd.Series:
     return tokens.map(stem_list)
 
 
-def title_tokens(col: Column, use_stemming: bool = True) -> Column:
+def title_tokens(
+    col: Column,
+    use_stemming: bool = True,
+    stopwords: tuple[str, ...] = RAW_STOPWORDS,
+) -> Column:
     """Full P1->P4 chain producing the stemmed, stopword-free token array
     (distinct, since edge weights count *set* intersections — T1).
 
@@ -229,10 +233,19 @@ def title_tokens(col: Column, use_stemming: bool = True) -> Column:
     — so inflected stopwords ('using'->'us', 'models'->'model') are
     dropped too, and the surviving tokens are stems. With
     use_stemming=False the raw list filters raw tokens (non-parity
-    mode for already-normalized corpora)."""
+    mode for already-normalized corpora).
+
+    ``stopwords`` is the RAW list (``PipelineConfig.stopwords`` threads
+    here); it is stemmed in-process when use_stemming is on so the stem
+    space always matches this module's stemmer."""
     toks = tokenize_keep_long(normalize_title(col))
     if use_stemming:
-        toks = remove_stopwords(stem_tokens(toks), STOP_STEMS)
+        stems = (
+            STOP_STEMS
+            if stopwords == RAW_STOPWORDS
+            else tuple(dict.fromkeys(porter_stem(w) for w in stopwords))
+        )
+        toks = remove_stopwords(stem_tokens(toks), stems)
     else:
-        toks = remove_stopwords(toks, RAW_STOPWORDS)
+        toks = remove_stopwords(toks, tuple(stopwords))
     return F.array_distinct(toks)

@@ -392,10 +392,19 @@ def combined_edges(
     # on (block_key,id_a,id_b) and AQE re-splits any skewed partition.
     if config.max_pairs_per_block > 0:
         cap = config.max_pairs_per_block
+        # Rank by the SAME fused expression scoring.fuse_scores applies
+        # (least(1,·) squashing, published 5/1/4 weights, org term) so
+        # the pairs the cap keeps are the strongest by actual fused
+        # score — raw coauthor counts must not dominate, and org-only
+        # evidence must not rank as zero.
+        fused = (
+            config.w_coauthor * F.least(F.lit(1.0), F.col("w_coauthor"))
+            + config.w_title * F.col("title_cos")
+            + config.w_venue * F.least(F.lit(1.0), F.col("w_venue"))
+            + config.w_org * F.least(F.lit(1.0), F.col("w_org"))
+        ) / F.lit(config.weight_norm)
         rank_w = Window.partitionBy("block_key").orderBy(
-            F.desc(
-                F.col("w_coauthor") + F.col("title_cos") + F.col("w_venue")
-            ),
+            F.desc(fused),
             F.asc("id_a"),
             F.asc("id_b"),
         )

@@ -165,7 +165,8 @@ def parse_publications(
 
     # P1-P4 tokenization chain (stemmed, stopword-free, distinct).
     pubs = pubs.withColumn(
-        "title_toks", title_tokens(F.col("title"), config.use_stemming)
+        "title_toks",
+        title_tokens(F.col("title"), config.use_stemming, config.stopwords),
     )
 
     if observe_name:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
-from ..functions.names import jaro_winkler_udf, levenshtein_sim
+from ..functions.names import jaro_winkler_udf
 
 
 def fuse_scores(
@@ -112,14 +112,12 @@ def enrich_scores(
     jw = F.when(in_band, jaro_winkler_udf("title_a", "title_b")).otherwise(
         F.lit(0.0)
     )
-    lev = F.when(
-        F.col("venue_a").isNotNull() & F.col("venue_b").isNotNull(),
-        levenshtein_sim(F.col("venue_a"), F.col("venue_b")),
-    ).otherwise(F.lit(0.0))
-
+    # NOTE: no venue Levenshtein here — score_enriched only consumes
+    # jaccard + jw, so computing edit distance per pair would be pure
+    # cost (it was measured dead weight and removed).
     out = joined.withColumn("jaccard_title", jaccard).withColumn(
         "jw_title", jw
-    ).withColumn("lev_venue", lev)
+    )
     enriched = F.when(
         in_band,
         0.7 * F.col("score")

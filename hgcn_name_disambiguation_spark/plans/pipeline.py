@@ -37,20 +37,45 @@ class PipelineResult:
     metrics: DataFrame
 
 
-def run_pipeline(
-    repo_files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
-) -> PipelineResult:
-    pubs = parse_publications(repo_files, config)
-    edges = combined_edges(pubs, config)
+def compute_matches(
+    pubs: DataFrame,
+    edges: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """Score edges and threshold them into the match graph, honoring
+    ``config.enrich``. Single source of truth for the score→match step
+    so batch (run_pipeline) and streaming (streaming.incremental) stay
+    result-identical on the same input + config."""
     scored = fuse_scores(edges, config)
     if config.enrich:
         scored = enrich_scores(scored, pubs, config)
         matches = threshold_matches(scored, config, score_col="score_enriched")
     else:
         matches = threshold_matches(scored, config)
+    return scored, matches
+
+
+def cluster_matches(
+    pubs: DataFrame,
+    scored: DataFrame,
+    matches: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Match graph -> cluster assignment, honoring
+    ``config.cluster_refine_rounds`` (shared by batch + streaming)."""
     clustered = assign_clusters(pubs, matches, config)
     if config.cluster_refine_rounds > 0:
         clustered = refine_clusters(clustered, scored, config)
+    return clustered
+
+
+def run_pipeline(
+    repo_files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> PipelineResult:
+    pubs = parse_publications(repo_files, config)
+    edges = combined_edges(pubs, config)
+    scored, matches = compute_matches(pubs, edges, config)
+    clustered = cluster_matches(pubs, scored, matches, config)
     metrics = pairwise_metrics(clustered)
     return PipelineResult(pubs, edges, scored, matches, clustered, metrics)
 

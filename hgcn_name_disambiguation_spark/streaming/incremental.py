@@ -23,9 +23,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.candidate_pairs import combined_edges
-from ..operators.clustering import assign_clusters
 from ..operators.parse import parse_publications
-from ..operators.scoring import fuse_scores, threshold_matches
+from ..plans.pipeline import cluster_matches, compute_matches
 
 
 def windowed_event_counts(
@@ -135,10 +134,11 @@ class IncrementalDisambiguator:
         )
         scoped = store.join(F.broadcast(touched_keys), "block_key", "left_semi")
         edges = combined_edges(scoped, self.config)
-        matches = threshold_matches(
-            fuse_scores(edges, self.config), self.config
-        )
-        clustered = assign_clusters(scoped, matches, self.config)
+        # Same score->match->cluster path as the batch pipeline
+        # (enrich + cluster-refine honored) so the incremental-equals-
+        # batch invariant holds for EVERY config, not just the default.
+        scored, matches = compute_matches(scoped, edges, self.config)
+        clustered = cluster_matches(scoped, scored, matches, self.config)
 
         if self._clusters_exist():
             # keep untouched blocks living in the touched buckets

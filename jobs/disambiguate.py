@@ -8,7 +8,7 @@ North-rule operational surface: the whole job submits with
         --input  /path/to/repo_files_parquet_or_table \
         --output /path/to/out \
         [--checkpoint /path/to/ckpt]   # resume at last completed stage
-        [--threshold 0.20] [--no-enrich]
+        [--threshold 0.20] [--enrich]
 
 The session builder deliberately sets NO master: spark-submit owns
 cluster sizing (local[8] vs local[32] in the sandbox; N vs 4N
@@ -54,8 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", default=None,
                     help="stage-checkpoint dir; enables resume-at-last-stage")
     ap.add_argument("--threshold", type=float, default=None)
-    ap.add_argument("--no-enrich", action="store_true",
-                    help="skip the Jaro-Winkler/Jaccard enrichment pass")
+    ap.add_argument("--enrich", action="store_true",
+                    help="enable the Jaro-Winkler/Jaccard enrichment pass "
+                    "(off by default, matching PipelineConfig: the flat "
+                    "string-sim bonus over-merges dense-evidence corpora — "
+                    "measured block precision 1.0 -> 0.18 on fixtures; "
+                    "opt in for sparse corpora where it is worth ~+1 F1)")
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--verify-sha", action="store_true",
                     help="assert per-row sha2(content,256) survives end-to-end")
@@ -73,10 +77,17 @@ def main(argv: list[str] | None = None) -> int:
         StageRunner, disambiguation_stages,
     )
 
-    overrides: dict = {"enrich": not args.no_enrich}
+    overrides: dict = {"enrich": args.enrich}
     if args.threshold is not None:
         overrides["match_threshold"] = args.threshold
     cfg = dataclasses.replace(DEFAULT_CONFIG, **overrides)
+    if cfg.enrich:
+        print(
+            "WARNING: enrichment pass active — on dense-evidence corpora "
+            "the string-sim bonus can over-merge (measured precision "
+            "collapse on dense fixtures); calibrated for sparse corpora.",
+            file=sys.stderr,
+        )
 
     spark = build_session("disambiguate", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
