@@ -1084,6 +1084,188 @@ WHERE (5 * LEAST(1.0, w_coauthor) + 1 * title_cos
 """
 
 
+# --- round 3: adaptive-ER layer coverage (SURVEY §2.12 X1-X3) ---
+
+_ALPHA = list("abcdefghijklmnopqrstuvwxyz")
+_FIRSTS = ["lei", "xiaoyan", "john", "barry", "j", "wei", "koichi"]
+
+
+def q33_name_tier(spark, sf):
+    """X3 name-ambiguity tiers over deterministic keys derived from
+    customer keys (first name cycled through a mixed-length list,
+    surname cycled through the full CJK / common / synthetic-rare
+    sets) — exercises the broadcast-literal tier expression end to
+    end; the oracle replicates the classification with the same lists
+    inlined as SQL literals."""
+    from hgcn_name_disambiguation_spark.config import (
+        CJK_SURNAMES,
+        COMMON_SURNAMES,
+    )
+    from hgcn_name_disambiguation_spark.functions.names import name_tier
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    first = F.element_at(
+        F.array(*[F.lit(s) for s in _FIRSTS]), (k % 7 + 1).cast("int")
+    )
+    surname = (
+        F.when(
+            k % 3 == 0,
+            F.element_at(
+                F.array(*[F.lit(s) for s in CJK_SURNAMES]),
+                (k % len(CJK_SURNAMES) + 1).cast("int"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.element_at(
+                F.array(*[F.lit(s) for s in COMMON_SURNAMES]),
+                (k % len(COMMON_SURNAMES) + 1).cast("int"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("zz"),
+                F.element_at(
+                    F.array(*[F.lit(s) for s in _ALPHA]),
+                    (k % 26 + 1).cast("int"),
+                ),
+            )
+        )
+    )
+    return (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat_ws(" ", first, surname).alias("block_key"),
+        )
+        .withColumn("tier", name_tier(F.col("block_key")))
+        .orderBy("custkey")
+    )
+
+
+def _q33_sql() -> str:
+    from hgcn_name_disambiguation_spark.config import (
+        CJK_SURNAMES,
+        COMMON_SURNAMES,
+    )
+
+    firsts = ", ".join(f"'{s}'" for s in _FIRSTS)
+    cjk_list = ", ".join(f"'{s}'" for s in CJK_SURNAMES)
+    com_list = ", ".join(f"'{s}'" for s in COMMON_SURNAMES)
+    alpha = ", ".join(f"'{s}'" for s in _ALPHA)
+    return f"""
+WITH named AS (
+  SELECT c_custkey AS custkey,
+         list_extract([{firsts}], CAST(c_custkey % 7 + 1 AS INT)) AS first,
+         CASE
+           WHEN c_custkey % 3 = 0 THEN list_extract([{cjk_list}],
+                CAST(c_custkey % {len(CJK_SURNAMES)} + 1 AS INT))
+           WHEN c_custkey % 3 = 1 THEN list_extract([{com_list}],
+                CAST(c_custkey % {len(COMMON_SURNAMES)} + 1 AS INT))
+           ELSE 'zz' || list_extract([{alpha}], CAST(c_custkey % 26 + 1 AS INT))
+         END AS surname
+  FROM customer)
+SELECT custkey,
+       first || ' ' || surname AS block_key,
+       CASE
+         WHEN length(first) = 1 THEN 'amb'
+         WHEN surname IN ({cjk_list}) AND length(first) <= 5 THEN 'amb'
+         WHEN surname IN ({com_list}) THEN 'common'
+         ELSE 'rare'
+       END AS tier
+FROM named
+ORDER BY custkey
+"""
+
+
+def q34_focal_sigs(spark, sf):
+    """X1 focal-name signature extraction over synthesized author
+    lists (block 'john smith'; per customer key the focal author is an
+    exact-first / initial-compatible / different-first / absent
+    variant) — exercises normalization, candidate filtering, and the
+    priority window; the oracle computes the expected signature
+    analytically from the same construction."""
+    from hgcn_name_disambiguation_spark.operators.name_constraints import (
+        focal_signatures,
+    )
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    mid = F.upper(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ALPHA]), (k % 26 + 1).cast("int")
+        )
+    )
+    authors = (
+        F.when(
+            k % 4 == 0,
+            F.array(
+                F.concat(F.lit("John "), mid, F.lit(". Smith")),
+                F.lit("Alice Wong"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.array(
+                F.concat(F.lit("J. "), mid, F.lit(" Smith")),
+                F.lit("R. T. Williams"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.array(
+                F.concat(F.lit("Kenneth "), mid, F.lit(". Smith")),
+                F.lit("R. Thomson"),
+            ),
+        )
+        .otherwise(F.array(F.lit("Alice Wong")))
+    )
+    pubs = c.select(
+        F.lit("john smith").alias("block_key"),
+        F.col("c_custkey").cast("string").alias("pub_id"),
+        authors.alias("authors"),
+    )
+    return (
+        focal_signatures(pubs)
+        .select(
+            F.col("pub_id").cast("long").alias("custkey"),
+            F.concat_ws(" ", "sig").alias("sig"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def _q34_sql() -> str:
+    alpha = ", ".join(f"'{s}'" for s in _ALPHA)
+    return f"""
+SELECT c_custkey AS custkey,
+       CASE c_custkey % 4
+         WHEN 0 THEN 'john ' || list_extract([{alpha}], CAST(c_custkey % 26 + 1 AS INT))
+         WHEN 1 THEN 'j ' || list_extract([{alpha}], CAST(c_custkey % 26 + 1 AS INT))
+         WHEN 2 THEN 'kenneth ' || list_extract([{alpha}], CAST(c_custkey % 26 + 1 AS INT))
+         ELSE ''
+       END AS sig
+FROM customer
+ORDER BY custkey
+"""
+
+
+def q35_knn_lsh_auto(spark, sf):
+    """q21's LSH top-k with DATA-DEPENDENT plane sizing
+    (num_planes=None -> log2(n/target_bucket), one count()) — driver
+    coverage for the auto-sizing scale path. Rows-only: the plane
+    count depends on the table size, so a static SQL oracle cannot
+    inline the hyperplane constants; the fixed-plane twin q21 is the
+    hash-checked variant."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, k=5, num_tables=4, num_planes=None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1118,6 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_er_matches": q30_er_matches,
         "q31_minhash_lsh_md5": q31_minhash_lsh_md5,
         "q32_simhash_md5": q32_simhash_md5,
+        "q33_name_tier": q33_name_tier,
+        "q34_focal_sigs": q34_focal_sigs,
+        "q35_knn_lsh_auto": q35_knn_lsh_auto,
     }
 
 
@@ -1156,4 +1341,8 @@ def oracle_sql() -> dict[str, str]:
         "q30_er_matches": Q30_SQL,
         "q31_minhash_lsh_md5": Q31_SQL,
         "q32_simhash_md5": Q32_SQL,
+        # q35 (auto-sized LSH) is rows-only: plane constants are
+        # data-dependent; its fixed-plane twin q21 is hash-checked.
+        "q33_name_tier": _q33_sql(),
+        "q34_focal_sigs": _q34_sql(),
     }

@@ -28,6 +28,43 @@ RAW_STOPWORDS: tuple[str, ...] = (
 # Punctuation class stripped from titles (name_disambiguation.py:771).
 TITLE_PUNCT_RE = r"""[!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~—～]+"""
 
+# --- name-ambiguity prior (engine extension; public knowledge) ---
+# Romanized CJK surnames whose single-token given names are so common
+# that the first+last blocking key carries almost no identity signal
+# (the well-documented "common Chinese name" problem in author
+# disambiguation — e.g. Torvik & Smalheiser 2009; Tang et al.'s
+# AMiner work). A block like "lei wang" has measured 112 distinct
+# authors in 308 pubs on the reference's labeled corpus.
+CJK_SURNAMES: tuple[str, ...] = (
+    "wang", "li", "zhang", "liu", "chen", "yang", "huang", "zhao", "wu",
+    "zhou", "xu", "sun", "ma", "zhu", "hu", "guo", "he", "gao", "lin",
+    "luo", "zheng", "liang", "xie", "tang", "song", "deng", "han", "cao",
+    "feng", "zeng", "peng", "xiao", "cai", "pan", "yu", "dong", "yuan",
+    "su", "ye", "lu", "wei", "jiang", "tian", "du", "ding", "ren", "fan",
+    "fang", "shen", "jin", "qian", "yao", "tan", "kim", "lee", "park",
+    "cho", "kang", "yoon", "lim", "shi", "dai", "wan", "meng", "qin",
+    "yan", "hou", "bai", "long", "wen", "xia", "gu", "kong", "shao",
+    "mao", "qiu", "hao", "ning", "gong", "cheng",
+)
+
+# High-frequency anglophone surnames (US census top list). Blocks with
+# these surnames plus a full first name sit between the CJK-ambiguous
+# tier and the rare tier: the key is moderately ambiguous but the
+# focal author's middle initials usually disambiguate.
+COMMON_SURNAMES: tuple[str, ...] = (
+    "smith", "johnson", "williams", "brown", "jones", "garcia",
+    "miller", "davis", "rodriguez", "martinez", "wilson", "anderson",
+    "taylor", "thomas", "moore", "jackson", "martin", "white", "harris",
+    "clark", "lewis", "robinson", "walker", "young", "allen", "king",
+    "wright", "scott", "hill", "green", "adams", "baker", "nelson",
+    "hall", "lopez", "gonzalez", "hernandez", "perez", "sanchez",
+    "campbell", "mitchell", "roberts", "carter", "phillips", "evans",
+    "turner", "parker", "collins", "edwards", "stewart", "morris",
+    "murphy", "cook", "rogers", "gray", "james", "watson", "brooks",
+    "kelly", "sanders", "price", "bennett", "wood", "barnes", "ross",
+    "henderson", "coleman", "jenkins", "perry", "powell", "russell",
+)
+
 
 @dataclass(frozen=True)
 class PipelineConfig:
@@ -108,19 +145,70 @@ class PipelineConfig:
     # it to trade plan depth for checkpoint traffic.
     cc_checkpoint_every: int = 1
 
+    # --- name-constraint channel (operators.name_constraints) ---
+    # Extract the focal author's given-name signature per pub (e.g.
+    # "John R. Smith" in block "john smith" -> ['john','r']), resolve
+    # ambiguous signatures (initial-only / absent) to the most
+    # evidence-supported maximal signature in the block, and CUT match
+    # edges whose resolved signatures are incompatible (contradictory
+    # middle initials / first names are hard negative evidence: "John
+    # A. Smith" is never "John W. Smith"). Measured on the reference's
+    # labeled AMiner corpus: john smith block P 0.05 -> 0.81, macro F1
+    # +0.6 with no other block regressing.
+    name_constraints: bool = True
+    sig_resolve_rounds: int = 3
+
+    # --- ambiguity-tier adaptive matching ---
+    # Per-block tier from the blocking key (functions.names.name_tier):
+    #   'amb'    initial-only first name, or common CJK surname with a
+    #            single short given name (near-zero key signal),
+    #   'common' high-frequency anglophone surname,
+    #   'rare'   everything else (the key alone is nearly unique).
+    # In 'amb' blocks whose strong-evidence (coauthor/org/strong-title)
+    # match graph is fragmented (largest component < amb_gate_bigfrac
+    # of the block and block size >= amb_gate_min_n), WEAK match edges
+    # (venue-only fused evidence) may corroborate but not bridge:
+    # they are dropped before transitive closure. Measured: venue-only
+    # pairs in such blocks are 5-20% true vs 95-100% in dominated
+    # blocks; the gate trades a small recall cost in a few fragmented-
+    # but-true blocks for large precision wins (lei wang P 0.13->0.99).
+    weak_bridge_gate: bool = True
+    amb_gate_bigfrac: float = 0.30
+    amb_gate_min_n: int = 50
+    # In 'rare' blocks the prior is inverted: the key is nearly unique,
+    # so modest title similarity is reliable evidence. Title-only pairs
+    # with IDF-cosine >= rare_rescue_cos match in rare blocks (the
+    # global strong_title_cos bar stays for other tiers). Only applies
+    # to evidence-SPARSE blocks (see refine_richness_max).
+    rare_rescue_cos: float = 0.25
+
     # --- cluster-level agglomeration (clustering.refine_clusters) ---
     # rounds of cluster-pair merging on aggregated (incl. sub-threshold)
-    # pair evidence; 0 disables. affinity = sum(scores)/min(|A|,|B|).
-    # OFF by default — refine is an opt-in recall lever whose merge
-    # threshold is corpus-density-dependent: on the reference's SPARSE
-    # labeled AMiner blocks one round at tau 0.10 is the measured
-    # macro-F1 peak (0.767 -> 0.779; R +3.7 for P -1.6), but on
-    # dense-evidence corpora (the synthetic fixtures) the same setting
-    # over-merges catastrophically (block precision 1.0 -> 0.15)
-    # because sum-of-sub-threshold-evidence normalized by the smaller
-    # cluster grows with evidence density, not match probability.
-    # Calibrate cluster_merge_tau per corpus before enabling.
-    cluster_refine_rounds: int = 0
+    # pair evidence; 0 disables. affinity = sum(scores)/min(|A|,|B|),
+    # thresholds per ambiguity tier (refine_tau_*/refine_min_edges_*).
+    # ON by default since round 3, guarded by TWO auto-calibration
+    # gates measured on both corpora:
+    #   1. evidence-richness gate: refine (and the rare rescue) only
+    #      run in blocks whose mean above-threshold match score is
+    #      below refine_richness_max. Dense-evidence corpora (the
+    #      synthetic fixtures: mean matched score 0.63-0.70) have
+    #      complete evidence, so sub-threshold pairs there are true
+    #      negatives and refine would over-merge (P 1.0 -> 0.48
+    #      measured); sparse corpora (AMiner: 0.44-0.58) have missing
+    #      evidence, where refine is worth ~+2 macro F1.
+    #   2. refine respects the name-constraint cuts and the weak-
+    #      bridge gate: cross-cluster evidence from cut or gated pairs
+    #      never drives a merge.
+    cluster_refine_rounds: int = 4
+    refine_richness_max: float = 0.60
+    refine_tau_rare: float = 0.02
+    refine_tau_common: float = 0.05
+    refine_tau_amb: float = 0.10
+    refine_min_edges_rare: int = 1
+    refine_min_edges_common: int = 2
+    refine_min_edges_amb: int = 2
+    # legacy single-threshold knobs (used when tier columns are absent,
+    # e.g. refine_clusters called standalone without block traits)
     cluster_merge_tau: float = 0.10
     # a cluster-pair merge additionally needs >= this many distinct
     # cross pair-edges (corroboration; 1 disables the gate).

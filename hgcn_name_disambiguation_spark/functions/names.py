@@ -103,3 +103,33 @@ def levenshtein_sim(a: Column, b: Column) -> Column:
     return F.when(maxlen == 0, F.lit(1.0)).otherwise(
         1.0 - F.levenshtein(a, b) / maxlen
     )
+
+
+def name_tier(block_key_col: Column) -> Column:
+    """Ambiguity tier of a blocking key — 'amb' | 'common' | 'rare'.
+
+    Pure column expression (whole-stage codegen; the surname lists are
+    broadcast literals). See ``config.CJK_SURNAMES`` /
+    ``config.COMMON_SURNAMES`` for the prior's rationale; engine
+    extension, no reference counterpart (the reference treats every
+    name block identically, which is exactly why its unsupervised mode
+    collapses on common-name blocks)."""
+    from ..config import CJK_SURNAMES, COMMON_SURNAMES
+
+    parts = F.split(block_key_col, " ")
+    first = F.element_at(parts, 1)
+    last = F.element_at(parts, -1)
+    amb = (
+        (F.size(parts) < 2)
+        | (F.length(first) == 1)
+        | (
+            last.isin(*CJK_SURNAMES)
+            & (F.size(parts) == 2)
+            & (F.length(first) <= 5)
+        )
+    )
+    return (
+        F.when(amb, F.lit("amb"))
+        .when(last.isin(*COMMON_SURNAMES), F.lit("common"))
+        .otherwise(F.lit("rare"))
+    )

@@ -124,10 +124,85 @@ def connected_components(
     return comp.unionByName(roots).dropDuplicates(["node"])
 
 
+def two_phase_components(
+    strong_edges: DataFrame,
+    extra_edges: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    comp1: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components over (strong ∪ extra) edges, computed as
+    strong-CC first, then CC of the CONTRACTED extra graph.
+
+    The adaptive pipeline needs the strong-evidence components on
+    their own (the ambiguity gate reads their sizes), so rather than
+    paying a second full CC over the union graph, the extra (bridge)
+    edges are mapped through the strong components — intra-component
+    bridges become self-loops and vanish — and a second CC runs on
+    what is usually a tiny contraction graph. Composition gives the
+    union-graph components exactly (standard CC contraction identity).
+
+    Returns (node, component, strong_component): `component` is the
+    final id, `strong_component` the phase-1 id (callers use it for
+    gate statistics). Pass ``comp1`` when the strong components were
+    already computed (the ambiguity gate needs them first) — the
+    phase-1 CC is then skipped entirely.
+    """
+    if comp1 is None:
+        comp1 = connected_components(strong_edges, config=config)
+    mapped = (
+        extra_edges.join(
+            comp1.select(
+                F.col("node").alias("src"), F.col("component").alias("_cs")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            comp1.select(
+                F.col("node").alias("dst"), F.col("component").alias("_cd")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("_cs", "src").alias("src"),
+            F.coalesce("_cd", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    comp2 = connected_components(mapped, config=config)
+    # nodes of the union graph: strong nodes + extra-edge endpoints
+    extra_nodes = (
+        extra_edges.select(F.col("src").alias("node"))
+        .unionByName(extra_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = (
+        comp1.select("node").unionByName(extra_nodes).distinct()
+    )
+    out = (
+        nodes.join(comp1, "node", "left")
+        .withColumn("strong_component", F.coalesce("component", "node"))
+        .drop("component")
+        .join(
+            comp2.select(
+                F.col("node").alias("strong_component"),
+                F.col("component").alias("_c2"),
+            ),
+            "strong_component",
+            "left",
+        )
+        .withColumn("component", F.coalesce("_c2", "strong_component"))
+        .drop("_c2")
+    )
+    return out
+
+
 def refine_clusters(
     clustered: DataFrame,
     scored: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
+    traits: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-level agglomeration — the distributed analogue of the
     reference's per-block average-linkage GHAC stage (G8,
@@ -159,11 +234,78 @@ def refine_clusters(
     ``config.cluster_refine_rounds`` times (sizes/affinities recomputed
     each round); new cluster id = min member cluster id, preserving the
     min-pub-id convention.
+
+    With ``traits`` (block_key, tier, gated, sparse — see
+    plans.pipeline.build_match_context), refinement is auto-calibrated
+    (round 3, the density-aware defaults that let rounds default on):
+    - only evidence-SPARSE blocks participate (richness gate; dense
+      corpora's sub-threshold pairs are true negatives — measured
+      fixture collapse P 1.0 -> 0.48 without this),
+    - merge thresholds are per ambiguity tier
+      (config.refine_tau_* / refine_min_edges_*),
+    - evidence rows flagged ``sig_cut`` (name-constraint contradiction)
+      never count, and ``is_weak`` rows don't count in gated blocks.
+    Without traits the legacy single-threshold knobs apply
+    (cluster_merge_tau / cluster_merge_min_edges) over raw scores.
     """
     if config.cluster_refine_rounds <= 0:
         return clustered
-    e = scored.select("block_key", "id_a", "id_b", "score")
-    out = clustered
+    e = scored
+    if "sig_cut" in e.columns:
+        e = e.where(~F.col("sig_cut"))
+    if {"w_title", "title_cos", "w_coauthor", "w_venue", "w_org"} <= set(
+        e.columns
+    ):
+        # pairs whose ONLY evidence is a single shared title token sit
+        # below the reference's own co-title bound (min_title_overlap,
+        # name_disambiguation.py:971-973); aggregating hundreds of them
+        # fakes cluster affinity (measured −1.3 macro F1 on the labeled
+        # corpus when admitted) — drop them from the evidence pool.
+        e = e.where(
+            ~(
+                (F.col("w_title") <= 0)
+                & (F.col("title_cos") > 0)
+                & (F.col("w_coauthor") <= 0)
+                & (F.col("w_venue") <= 0)
+                & (F.col("w_org") <= 0)
+            )
+        )
+    if traits is not None:
+        tr = traits.select("block_key", "tier", "gated", "sparse")
+        e = e.join(tr, "block_key", "inner").where(F.col("sparse"))
+        if "is_weak" in e.columns:
+            e = e.where(~(F.col("gated") & F.col("is_weak")))
+        tau_col = (
+            F.when(F.col("tier") == "rare", F.lit(config.refine_tau_rare))
+            .when(F.col("tier") == "common", F.lit(config.refine_tau_common))
+            .otherwise(F.lit(config.refine_tau_amb))
+        )
+        me_col = (
+            F.when(
+                F.col("tier") == "rare",
+                F.lit(config.refine_min_edges_rare),
+            )
+            .when(
+                F.col("tier") == "common",
+                F.lit(config.refine_min_edges_common),
+            )
+            .otherwise(F.lit(config.refine_min_edges_amb))
+        )
+        e = e.select(
+            "block_key", "id_a", "id_b", "score",
+            tau_col.alias("_tau"), me_col.alias("_me"),
+        )
+    else:
+        e = e.select(
+            "block_key", "id_a", "id_b", "score",
+            F.lit(config.cluster_merge_tau).alias("_tau"),
+            F.lit(config.cluster_merge_min_edges).alias("_me"),
+        )
+    # The evidence frame is re-joined EVERY round — materialize it once
+    # so each round costs one join+agg, not a re-execution of the whole
+    # scoring subtree (plan depth was the round-2 OOM risk).
+    e = e.localCheckpoint(eager=True)
+    out = clustered.localCheckpoint(eager=True)
     for _ in range(config.cluster_refine_rounds):
         cmap = out.select("block_key", "pub_id", "cluster_id")
         ea = cmap.select(
@@ -185,6 +327,8 @@ def refine_clusters(
                 F.least("ca", "cb").alias("ca"),
                 F.greatest("ca", "cb").alias("cb"),
                 "score",
+                "_tau",
+                "_me",
             )
         )
         sizes = out.groupBy("block_key", "cluster_id").agg(
@@ -193,6 +337,8 @@ def refine_clusters(
         agg = cross.groupBy("block_key", "ca", "cb").agg(
             F.sum("score").alias("s"),
             F.count(F.lit(1)).alias("n_edges"),
+            F.first("_tau").alias("_tau"),
+            F.first("_me").alias("_me"),
         )
         agg = (
             agg.join(
@@ -216,8 +362,8 @@ def refine_clusters(
             )
         )
         merges = agg.where(
-            (F.col("affinity") >= config.cluster_merge_tau)
-            & (F.col("n_edges") >= config.cluster_merge_min_edges)
+            (F.col("affinity") >= F.col("_tau"))
+            & (F.col("n_edges") >= F.col("_me"))
         )
         if merges.isEmpty():
             break
@@ -240,6 +386,8 @@ def refine_clusters(
                 "cluster_id", F.coalesce(F.col("_new_cid"), F.col("cluster_id"))
             )
             .drop("_new_cid")
+            # truncate lineage: next round joins against `out` again
+            .localCheckpoint(eager=True)
         )
     return out
 

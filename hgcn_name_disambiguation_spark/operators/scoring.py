@@ -128,26 +128,21 @@ def enrich_scores(
     )
 
 
-def threshold_matches(
+def match_flags(
     scored: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     score_col: str = "score",
 ) -> DataFrame:
-    """G6: keep pairs above the match threshold — the edge set of the
-    match graph (reference pre-cluster threshold,
-    ``name_disambiguation.py:86,599``).
+    """Annotate scored pairs with the match decision as COLUMNS (used
+    by the adaptive pipeline, which routes strong and weak matches
+    differently; ``threshold_matches`` keeps the row-filter form):
 
-    A second high-precision rule admits title-only pairs whose
-    IDF-cosine is strong (>= strong_title_cos): pubs connected by
-    nothing but a rare-token title match still belong together, and
-    the fused weight (1/10) alone can never lift them over tau.
-
-    Corroboration gates (config.exclude_single_coauthor_only /
-    exclude_venue_only): evidence signatures whose measured precision
-    on the reference's labeled corpus is too low for transitive
-    closure (one false edge merges two whole entities) are excluded
-    even when the fused score clears tau — see config for the
-    measured numbers.
+    - ``is_match``: same predicate as ``threshold_matches`` (tau +
+      strong-title rescue + corroboration gates).
+    - ``is_weak``: the pair's evidence is venue-only in fused terms —
+      no coauthor, no org, and title cosine below the strong bar. Weak
+      matches clear tau only through the venue term; under the
+      ambiguity gate they corroborate but may not bridge.
     """
     cond = F.col(score_col) > config.match_threshold
     have = set(scored.columns)
@@ -168,12 +163,47 @@ def threshold_matches(
     if "title_cos" in have:
         strong = F.col("title_cos") >= config.strong_title_cos
         if "w_title" in have:
-            # rescue needs >= min_title_overlap shared tokens (w_title
-            # is zeroed below that bound): a single shared token can
-            # dominate two short titles' idf mass and fake a strong
-            # cosine — one word is never enough to merge on alone.
             strong = strong & (F.col("w_title") > 0)
         cond = cond | strong
-    return scored.where(cond).select(
-        "block_key", "id_a", "id_b", F.col(score_col).alias("score")
+    weak = (
+        (F.col("w_coauthor") <= 0)
+        & (F.col("w_org") <= 0)
+        & (F.col("title_cos") < config.strong_title_cos)
+        if {"w_coauthor", "w_org", "title_cos"} <= have
+        else F.lit(False)
+    )
+    return scored.withColumn("is_match", cond).withColumn("is_weak", weak)
+
+
+def threshold_matches(
+    scored: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    score_col: str = "score",
+) -> DataFrame:
+    """G6: keep pairs above the match threshold — the edge set of the
+    match graph (reference pre-cluster threshold,
+    ``name_disambiguation.py:86,599``).
+
+    A second high-precision rule admits title-only pairs whose
+    IDF-cosine is strong (>= strong_title_cos): pubs connected by
+    nothing but a rare-token title match still belong together, and
+    the fused weight (1/10) alone can never lift them over tau.
+
+    Corroboration gates (config.exclude_single_coauthor_only /
+    exclude_venue_only): evidence signatures whose measured precision
+    on the reference's labeled corpus is too low for transitive
+    closure (one false edge merges two whole entities) are excluded
+    even when the fused score clears tau — see config for the
+    measured numbers.
+
+    The strong-title rescue requires >= min_title_overlap shared
+    tokens (w_title is zeroed below that bound): a single shared token
+    can dominate two short titles' idf mass and fake a strong cosine —
+    one word is never enough to merge on alone. The predicate itself
+    lives in ``match_flags`` (single source of truth).
+    """
+    return (
+        match_flags(scored, config, score_col)
+        .where(F.col("is_match"))
+        .select("block_key", "id_a", "id_b", F.col(score_col).alias("score"))
     )

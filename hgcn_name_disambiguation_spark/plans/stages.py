@@ -107,23 +107,39 @@ def disambiguation_stages(runner: StageRunner, config=None) -> StageRunner:
     'repo_files'."""
     from ..config import DEFAULT_CONFIG
     from ..operators.candidate_pairs import combined_edges
-    from ..operators.clustering import assign_clusters
     from ..operators.evaluate import pairwise_metrics
     from ..operators.parse import parse_publications
-    from ..operators.scoring import enrich_scores, fuse_scores, threshold_matches
+    from ..plans.pipeline import (
+        build_match_context,
+        cluster_from_context,
+        with_matches,
+    )
 
     cfg = config or DEFAULT_CONFIG
+    # the match context built by the 'matches' stage is reused by
+    # 'clustered' within one process; on resume (matches skipped) it
+    # is rebuilt from the checkpointed pubs+edges — same inputs, same
+    # deterministic context.
+    _ctx: dict = {}
 
     def _matches(d):
-        scored = fuse_scores(d["edges"], cfg)
-        if cfg.enrich:
-            scored = enrich_scores(scored, d["pubs"], cfg)
-            return threshold_matches(scored, cfg, score_col="score_enriched")
-        return threshold_matches(scored, cfg)
+        ctx = build_match_context(d["pubs"], d["edges"], cfg)
+        _ctx["ctx"] = ctx
+        return ctx.matches
+
+    def _clustered(d):
+        ctx = _ctx.get("ctx") or build_match_context(
+            d["pubs"], d["edges"], cfg
+        )
+        # cluster from the CHECKPOINTED match frame (durable stage
+        # boundary), not the in-memory plan that produced it
+        return cluster_from_context(
+            d["pubs"], with_matches(ctx, d["matches"]), cfg
+        )
 
     runner.add("pubs", lambda d: parse_publications(d["repo_files"], cfg))
     runner.add("edges", lambda d: combined_edges(d["pubs"], cfg))
     runner.add("matches", _matches)
-    runner.add("clustered", lambda d: assign_clusters(d["pubs"], d["matches"], cfg))
+    runner.add("clustered", _clustered)
     runner.add("metrics", lambda d: pairwise_metrics(d["clustered"]))
     return runner

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.candidate_pairs import combined_edges
 from ..operators.parse import parse_publications
-from ..plans.pipeline import cluster_matches, compute_matches
+from ..plans.pipeline import build_match_context, cluster_from_context
 
 
 def windowed_event_counts(
@@ -134,11 +134,12 @@ class IncrementalDisambiguator:
         )
         scoped = store.join(F.broadcast(touched_keys), "block_key", "left_semi")
         edges = combined_edges(scoped, self.config)
-        # Same score->match->cluster path as the batch pipeline
-        # (enrich + cluster-refine honored) so the incremental-equals-
-        # batch invariant holds for EVERY config, not just the default.
-        scored, matches = compute_matches(scoped, edges, self.config)
-        clustered = cluster_matches(scoped, scored, matches, self.config)
+        # Same score->match->cluster path as the batch pipeline (name
+        # constraints, ambiguity gate, enrich, cluster-refine all
+        # honored) so the incremental-equals-batch invariant holds for
+        # EVERY config, not just the default.
+        ctx = build_match_context(scoped, edges, self.config)
+        clustered = cluster_from_context(scoped, ctx, self.config)
 
         if self._clusters_exist():
             # keep untouched blocks living in the touched buckets

@@ -226,6 +226,18 @@ def main(argv=None) -> int:
     print(json.dumps(headline))
 
     if args.markdown:
+        # self-describing header: every field that differs from the
+        # library default, so each eval doc is reproducible from its
+        # own first lines.
+        non_default = {
+            f.name: getattr(cfg, f.name)
+            for f in dataclasses.fields(cfg)
+            if getattr(cfg, f.name) != getattr(DEFAULT_CONFIG, f.name)
+        }
+        nd = (
+            ", ".join(f"{k}={v}" for k, v in sorted(non_default.items()))
+            or "(library defaults)"
+        )
         lines = [
             "# REFERENCE_EVAL — pipeline F1 on the reference's real labeled corpora",
             "",
@@ -233,6 +245,17 @@ def main(argv=None) -> int:
             f"enrich={cfg.enrich}, "
             f"subdirs={args.subdirs}. {len(per_block)} blocks, {n_pubs} pubs, "
             f"{wall:.0f}s wall.",
+            "",
+            f"Non-default PipelineConfig fields: {nd}. Defaults include the "
+            f"round-3 adaptive layer (name_constraints="
+            f"{cfg.name_constraints}, weak_bridge_gate={cfg.weak_bridge_gate}, "
+            f"rare_rescue_cos={cfg.rare_rescue_cos}, cluster_refine_rounds="
+            f"{cfg.cluster_refine_rounds}, refine taus r/c/a="
+            f"{cfg.refine_tau_rare}/{cfg.refine_tau_common}/"
+            f"{cfg.refine_tau_amb}, min-edges "
+            f"{cfg.refine_min_edges_rare}/{cfg.refine_min_edges_common}/"
+            f"{cfg.refine_min_edges_amb}, richness gate < "
+            f"{cfg.refine_richness_max}).",
             "",
             f"**Macro avg: P={avg('precision'):.4f} R={avg('recall'):.4f} "
             f"F1={avg('f1'):.4f}** "
