@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q19_minhash_lsh",
     "q20_simhash",
     "q21_knn_lsh",
+    # auto-sized LSH twin: exercises the data-dependent plane sizing
+    # (num_planes=None) so the scale path is benched, not just tested
+    "q35_knn_lsh_auto",
 ]
 
 
@@ -54,17 +57,24 @@ def main() -> None:
     )
     qs = entry_mod.queries()
 
+    # SPARK_GRAFT_BENCH_REPEATS=k reports best-of-k per query (host
+    # noise on this box is measured >= 2x run-to-run; default 1 keeps
+    # the driver contract cheap).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side collect cost
-        n = fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            # count() forces full execution without driver-side collect
+            n = fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -130,6 +130,7 @@ def _ghac_block(
     k: int | None,
     tau: float,
     max_n: int,
+    use_combined_modularity: bool = False,
 ) -> pd.DataFrame:
     block = (
         pubs_pdf["block_key"].iloc[0]
@@ -162,6 +163,21 @@ def _ghac_block(
         if a is None or b is None:
             continue
         sim[a, b] = sim[b, a] = float(s)
+    # G9 parity option: the reference scores candidate partitions with
+    # modularity of the COMBINED raw-weight graph G (Louvain's Q over
+    # summed relation weights, name_disambiguation.py:649-659), not of
+    # the sigmoid similarity graph. When the cogroup carries the raw
+    # combined weight, build that adjacency for the k-search argmax.
+    mod_adj = sim
+    if use_combined_modularity and "w_combined" in pairs_pdf.columns:
+        mod_adj = np.zeros((n, n))
+        for ia, ib, w in zip(
+            pairs_pdf["id_a"], pairs_pdf["id_b"], pairs_pdf["w_combined"]
+        ):
+            a, b = pos.get(ia), pos.get(ib)
+            if a is None or b is None:
+                continue
+            mod_adj[a, b] = mod_adj[b, a] = float(w)
 
     if k is None:
         # reference k-search (name_disambiguation.py:597-687): bounds
@@ -172,7 +188,7 @@ def _ghac_block(
         best_q, best_labels, best_k = -np.inf, None, k_lo
         for kk in range(k_lo, k_hi + 1):
             labels = _average_linkage(-sim, kk)
-            q = _modularity(sim, labels)
+            q = _modularity(mod_adj, labels)
             if q > best_q:
                 best_q, best_labels, best_k = q, labels, kk
         labels, k_used, method = best_labels, best_k, "modularity-search"
@@ -199,6 +215,7 @@ def ghac_clusters(
     score_col: str = "score",
     max_block_for_dense: int = 400,
     preclust_tau: float | None = None,
+    modularity_graph: str = "sim",
 ) -> DataFrame:
     """Per-block GHAC labels via cogrouped applyInPandas.
 
@@ -231,9 +248,20 @@ def ghac_clusters(
         p = pubs.select(
             "block_key", "pub_id", F.lit(None).cast("int").alias("_k")
         )
-    s = scored.select(
-        "block_key", "id_a", "id_b", F.col(score_col).alias("score")
-    )
+    use_combined = modularity_graph == "combined"
+    cols = ["block_key", "id_a", "id_b", F.col(score_col).alias("score")]
+    if use_combined and {
+        "w_coauthor", "w_title", "w_venue"
+    } <= set(scored.columns):
+        # the reference's combined G sums the raw relation weights
+        # (name_disambiguation.py:978-988); org is excluded for parity
+        # (the reference never wires it)
+        cols.append(
+            (
+                F.col("w_coauthor") + F.col("w_title") + F.col("w_venue")
+            ).alias("w_combined")
+        )
+    s = scored.select(*cols)
 
     def fn(pubs_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
         k = None
@@ -244,7 +272,7 @@ def ghac_clusters(
             # truth, fall back to the k-search path instead of feeding
             # k=0 into the linkage (which would emit garbage labels).
             k = None
-        return _ghac_block(pubs_pdf, pairs_pdf, k, tau, max_n)
+        return _ghac_block(pubs_pdf, pairs_pdf, k, tau, max_n, use_combined)
 
     return (
         p.groupBy("block_key")

@@ -489,6 +489,13 @@ def map_probe_orchestrate(args: argparse.Namespace) -> None:
         )
 
     cpu_levels = [int(c) for c in args.cpus.split(",")]
+    # Every repeat runs lo and hi back-to-back (same host-noise
+    # window), yielding one PAIRED efficiency sample per repeat. The
+    # honest summary is the MEDIAN of those samples with the min/max
+    # band — best-of-N alone can overstate by catching one quiet
+    # window (round-2 lesson).
+    runs: dict[int, list[dict]] = {c: [] for c in cpu_levels}
+    per_rep_eff: list[float] = []
     best: dict[int, dict] = {}
     for rep in range(args.repeats):
         for cpus in cpu_levels:  # interleave: same host window per pair
@@ -505,18 +512,33 @@ def map_probe_orchestrate(args: argparse.Namespace) -> None:
             subprocess.run(cmd, check=True, cwd=REPO)
             with open(json_out) as f:
                 r = json.load(f)
+            runs[cpus].append(r)
             if (cpus not in best
                     or r["map_wall_s"] < best[cpus]["map_wall_s"]):
                 best[cpus] = r
-        lo, hi = best[cpu_levels[0]], best[cpu_levels[-1]]
-        ratio = hi["cores"] / lo["cores"]
-        eff = (hi["map_pairs_per_sec"] / lo["map_pairs_per_sec"]) / ratio
+        lo_r, hi_r = runs[cpu_levels[0]][rep], runs[cpu_levels[-1]][rep]
+        ratio = hi_r["cores"] / lo_r["cores"]
+        per_rep_eff.append(
+            (hi_r["map_pairs_per_sec"] / lo_r["map_pairs_per_sec"]) / ratio
+        )
+        effs = sorted(per_rep_eff)
+        median = effs[len(effs) // 2] if len(effs) % 2 else (
+            effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+        ) / 2
+        lo_b, hi_b = best[cpu_levels[0]], best[cpu_levels[-1]]
+        best_eff = (
+            hi_b["map_pairs_per_sec"] / lo_b["map_pairs_per_sec"]
+        ) / (hi_b["cores"] / lo_b["cores"])
         print(json.dumps({
             "metric": "map_phase_scaling_efficiency",
-            "value": round(eff, 3),
+            "value": round(median, 3),
             "unit": "ratio",
+            "summary": "median_of_paired_repeats",
             "after_repeats": rep + 1,
-            "lo": lo, "hi": hi,
+            "per_repeat": [round(e, 3) for e in per_rep_eff],
+            "band": [round(min(per_rep_eff), 3), round(max(per_rep_eff), 3)],
+            "best_of": round(best_eff, 3),
+            "lo": lo_b, "hi": hi_b,
         }), flush=True)
 
 

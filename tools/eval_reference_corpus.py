@@ -80,6 +80,21 @@ def main(argv=None) -> int:
         default=[],
         help="PipelineConfig override, e.g. --set strong_title_cos=0.6",
     )
+    ap.add_argument(
+        "--ghac-ksearch",
+        action="store_true",
+        help="ghac mode: ignore truth labels and run the reference's "
+        "modularity k-search (OpenAlex mode) instead of fixed-k",
+    )
+    ap.add_argument(
+        "--ghac-modularity",
+        choices=("sim", "combined"),
+        default="sim",
+        help="k-search scoring graph: 'sim' = Newman Q on the fused "
+        "similarity graph (engine default); 'combined' = Q on the raw "
+        "summed relation-weight graph, the reference's own Louvain "
+        "target (name_disambiguation.py:649-659)",
+    )
     args = ap.parse_args(argv)
 
     overrides = {}
@@ -116,11 +131,12 @@ def main(argv=None) -> int:
             result.pubs,
             result.scored,
             cfg,
-            k_from_labels=True,
+            k_from_labels=not args.ghac_ksearch,
             # parity setting: the reference runs every block dense
             # (its own laptop ceiling is ~10^4); the engine default
             # (400) is the distributed-scale stance, not an eval rule.
             max_block_for_dense=2000,
+            modularity_graph=args.ghac_modularity,
         )
         cl = (
             g.join(
@@ -197,11 +213,15 @@ def main(argv=None) -> int:
                 "F1": round(m_avg(2), 4),
             },
         }
+    mode_label = args.mode
+    if args.mode == "ghac":
+        mode_label += "-ksearch" if args.ghac_ksearch else "-fixedk"
+        mode_label += f"-{args.ghac_modularity}mod"
     headline = {
         "metric": "macro_f1_reference_corpus",
         "value": round(avg("f1"), 4),
         "unit": "f1",
-        "mode": args.mode,
+        "mode": mode_label,
         "n_blocks": len(per_block),
         "n_pubs": n_pubs,
         "avg_precision": round(avg("precision"), 4),
@@ -241,13 +261,13 @@ def main(argv=None) -> int:
         lines = [
             "# REFERENCE_EVAL — pipeline F1 on the reference's real labeled corpora",
             "",
-            f"Config: mode={args.mode}, threshold={cfg.match_threshold}, "
+            f"Config: mode={mode_label}, threshold={cfg.match_threshold}, "
             f"enrich={cfg.enrich}, "
             f"subdirs={args.subdirs}. {len(per_block)} blocks, {n_pubs} pubs, "
             f"{wall:.0f}s wall.",
             "",
-            f"Non-default PipelineConfig fields: {nd}. Defaults include the "
-            f"round-3 adaptive layer (name_constraints="
+            f"Non-default PipelineConfig fields: {nd}. Effective adaptive "
+            f"layer for THIS run: name_constraints="
             f"{cfg.name_constraints}, weak_bridge_gate={cfg.weak_bridge_gate}, "
             f"rare_rescue_cos={cfg.rare_rescue_cos}, cluster_refine_rounds="
             f"{cfg.cluster_refine_rounds}, refine taus r/c/a="
@@ -255,7 +275,7 @@ def main(argv=None) -> int:
             f"{cfg.refine_tau_amb}, min-edges "
             f"{cfg.refine_min_edges_rare}/{cfg.refine_min_edges_common}/"
             f"{cfg.refine_min_edges_amb}, richness gate < "
-            f"{cfg.refine_richness_max}).",
+            f"{cfg.refine_richness_max}.",
             "",
             f"**Macro avg: P={avg('precision'):.4f} R={avg('recall'):.4f} "
             f"F1={avg('f1'):.4f}** "
@@ -273,7 +293,7 @@ def main(argv=None) -> int:
                 "",
                 "| run | P | R | F1 |",
                 "|---|---|---|---|",
-                f"| this engine ({args.mode}) | {o['P']} | {o['R']} | {o['F1']} |",
+                f"| this engine ({mode_label}) | {o['P']} | {o['R']} | {o['F1']} |",
                 f"| reference archived | {a['P']} | {a['R']} | {a['F1']} |",
                 "",
             ]
