@@ -486,17 +486,33 @@ def simhash_pairs(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer: full-avalanche integer mixing, so every
+    input bit flips ~half the output bits. Pure arithmetic — no RNG
+    state, deterministic, resume-safe."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
 def _hyperplane(seed: int, table: int, i: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane components in [-1, 1]
-    (pure integer arithmetic on (seed, table, i, j) — no RNG state,
-    resume-safe)."""
+    """Deterministic pseudo-random hyperplane components in [-1, 1].
+
+    Components MUST be independent across j: a linear congruence in j
+    (the round-1/2 form, ``j * 101 % 2_000_003`` scaled) makes each
+    plane a near-constant vector, every plane a scalar multiple of
+    1-vector, and the whole sign-bucket index collapse to "sign of the
+    component sum" — ~2 effective buckets at ANY plane count, i.e.
+    brute force at scale. Caught by tools/bench_autosize.py measuring
+    candidates/item vs n; full-avalanche mixing restores uniform
+    bucket occupancy."""
     return [
-        (
-            ((seed * 1_000_003 + table * 7_919_0001 + i * 10_007 + j * 101)
-             % 2_000_003)
-            / 1_000_001.5
-        )
-        - 1.0
+        (_mix64(seed * 1_000_003 + table * 79_190_001 + i * 10_007 + j)
+         % 2_000_003) / 1_000_001.5 - 1.0
         for j in range(dim)
     ]
 

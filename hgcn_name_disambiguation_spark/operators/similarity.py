@@ -189,10 +189,15 @@ def brute_force_topk(
 
 
 def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int):
+    """Per-(table, plane) pseudo-random hyperplanes with full-avalanche
+    component mixing (see dedup._hyperplane for why a linear ramp in j
+    collapses the sign-bucket index to ~2 buckets)."""
+    from .dedup import _mix64
+
     return [
         [
             [
-                (((seed * 7_368_787 + t * 65_537 + i * 10_007 + j * 101)
+                ((_mix64(seed * 7_368_787 + t * 65_537 + i * 10_007 + j)
                   % 2_000_003) / 1_000_001.5) - 1.0
                 for j in range(dim)
             ]
