@@ -107,3 +107,38 @@ def test_ivf_recall_against_exact(spark, emb, queries):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_hyperplanes_not_degenerate():
+    """Regression for the round-1/2 ramp bug: components varied as
+    j*101 (mod M), making every plane a near-constant vector (scalar
+    multiple of the all-ones direction), so every sign bit reduced to
+    sign(sum(v)) and the whole index collapsed to ~2 buckets. Planes
+    must be mutually near-orthogonal and buckets must actually spread."""
+    import numpy as np
+
+    from hgcn_name_disambiguation_spark.operators.dedup import _hyperplane
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    for planes in (
+        np.array(_hyperplanes(1, 8, 64, seed=42)[0]),
+        np.array([_hyperplane(42, 0, i, 64) for i in range(8)]),
+    ):
+        unit = planes / np.linalg.norm(planes, axis=1, keepdims=True)
+        g = unit @ unit.T
+        off = np.abs(g[~np.eye(len(g), dtype=bool)])
+        # 64-dim random directions: |cos| concentrates near 1/sqrt(64);
+        # the degenerate ramp gave ~1.0 for every pair
+        assert off.max() < 0.5, f"planes nearly collinear: {off.max():.3f}"
+
+        # sign-bucket spread over deterministic pseudo-random vectors
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((4000, 64))
+        bits = (vecs @ planes.T >= 0).astype(int)
+        buckets = bits @ (1 << np.arange(8))
+        n_distinct = len(np.unique(buckets))
+        top_share = np.bincount(buckets).max() / len(buckets)
+        assert n_distinct > 128, f"only {n_distinct} buckets occupied"
+        assert top_share < 0.05, f"top bucket holds {top_share:.1%}"
