@@ -664,7 +664,7 @@ def q21_knn_lsh(spark, sf):
     return lsh_topk(e, q, k=5, num_tables=4, num_planes=6)
 
 
-def _q21_sql() -> str:
+def _q21_sql(num_planes: int = 6) -> str:
     """LSH top-k oracle, generated from the SAME deterministic
     hyperplane constants the operator uses (similarity._hyperplanes is
     pure integer arithmetic — no RNG), so DuckDB reproduces the exact
@@ -673,7 +673,9 @@ def _q21_sql() -> str:
         _hyperplanes,
     )
 
-    tables = _hyperplanes(num_tables=4, num_planes=6, dim=64, seed=42)
+    tables = _hyperplanes(
+        num_tables=4, num_planes=num_planes, dim=64, seed=42
+    )
 
     def bucket(src: str) -> str:
         per_table = []
@@ -1252,11 +1254,11 @@ ORDER BY custkey
 
 def q35_knn_lsh_auto(spark, sf):
     """q21's LSH top-k with DATA-DEPENDENT plane sizing
-    (num_planes=None -> log2(n/target_bucket), one count()) — driver
-    coverage for the auto-sizing scale path. Rows-only: the plane
-    count depends on the table size, so a static SQL oracle cannot
-    inline the hyperplane constants; the fixed-plane twin q21 is the
-    hash-checked variant."""
+    (num_planes=None -> clamp(6, 24, ceil(log2(n/target_bucket))), one
+    count()) — driver coverage for the auto-sizing scale path. Oracle:
+    _q35_sql evaluates the SAME sizing formula over the sf0.01 table's
+    row count at SQL-generation time and inlines that plane set — a
+    wrong plane decision on the Spark side hash-mismatches."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1264,6 +1266,29 @@ def q35_knn_lsh_auto(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(e, q, k=5, num_tables=4, num_planes=None)
+
+
+def _q35_sql() -> str:
+    """Auto-sized LSH oracle: replicate lsh_topk's num_planes=None
+    decision (clamp(6, 24, ceil(log2(n / 1024)))) against the sf0.01
+    embeddings table the driver compares at, then reuse the q21
+    generator with that plane count. The correctness gate runs at
+    sf=0.01 by contract; if the table is unreadable here, fall back to
+    its generated size (200 rows -> 6 planes)."""
+    import math
+
+    n = 200
+    try:
+        import duckdb
+
+        n = duckdb.sql(
+            "SELECT COUNT(*) FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+        ).fetchone()[0]
+    except Exception:
+        pass
+    planes = max(6, min(24, math.ceil(math.log2(max(2, n / 1024)))))
+    return _q21_sql(num_planes=planes)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1341,8 +1366,9 @@ def oracle_sql() -> dict[str, str]:
         "q30_er_matches": Q30_SQL,
         "q31_minhash_lsh_md5": Q31_SQL,
         "q32_simhash_md5": Q32_SQL,
-        # q35 (auto-sized LSH) is rows-only: plane constants are
-        # data-dependent; its fixed-plane twin q21 is hash-checked.
         "q33_name_tier": _q33_sql(),
         "q34_focal_sigs": _q34_sql(),
+        # auto-sized LSH: oracle evaluates the same plane-sizing
+        # formula over the sf0.01 table size at generation time
+        "q35_knn_lsh_auto": _q35_sql(),
     }
