@@ -90,3 +90,69 @@ def test_incremental_matches_batch(spark, tmp_path):
         for r in batch.select("block_key", "pub_id", "cluster_id").collect()
     )
     assert got == want
+
+
+def test_block_pressure_monitor_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state (running n, signature set) must
+    accumulate ACROSS micro-batches, pair_budget = C(n,2), and the
+    gate_pressure flag must flip once n crosses amb_gate_min_n."""
+    import dataclasses
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
+    from hgcn_name_disambiguation_spark.streaming.stateful import (
+        block_pressure_monitor,
+    )
+
+    schema = StructType(
+        [
+            StructField("block_key", StringType()),
+            StructField("author_sig", StringType()),
+        ]
+    )
+    src = str(tmp_path / "pubs_src")
+    b1 = [("john smith", f"sig{i % 3}") for i in range(4)] + [
+        ("lei wang", "a")
+    ]
+    b2 = [("john smith", f"extra{i}") for i in range(3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, amb_gate_min_n=6)
+    stream = spark.readStream.schema(schema).parquet(src)
+    per_batch: list = []
+    q = (
+        block_pressure_monitor(stream, cfg)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: per_batch.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (b_i, r.block_key): r
+        for b_i, batch in enumerate(per_batch)
+        for r in batch
+        if batch
+    }
+    js1 = rows[(0, "john smith")]
+    assert js1.n_pubs == 4 and js1.pair_budget == 6
+    assert js1.n_signatures == 3 and not js1.gate_pressure
+    assert rows[(0, "lei wang")].n_pubs == 1
+
+    js2 = rows[(1, "john smith")]
+    assert js2.n_pubs == 7, "state did not accumulate across batches"
+    assert js2.pair_budget == 21
+    assert js2.n_signatures == 6  # {sig0-2} from b1 union {extra0-2}
+    assert js2.gate_pressure  # 7 >= amb_gate_min_n=6
+    assert (1, "lei wang") not in rows, "untouched block re-emitted"
