@@ -1291,6 +1291,77 @@ def _q35_sql() -> str:
     return _q21_sql(num_planes=planes)
 
 
+def q36_metapath_walks(spark, sf):
+    """G1/G2 oracle-checked: deterministic metapath walk corpus over
+    the documents-as-pubs evidence graph (operators/walks.py). md5
+    choice mode so DuckDB replicates every hop; metapath (A, V)
+    because the sf0.01 documents mapping has no >=2-shared-token title
+    pairs (T channel exercised on fixtures in test_walks)."""
+    from hgcn_name_disambiguation_spark.operators.walks import (
+        metapath_walks,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg)
+    return metapath_walks(
+        pubs,
+        edges,
+        metapath=("A", "V"),
+        walk_length=4,
+        walks_per_node=2,
+        hash_mode="md5",
+    )
+
+
+def _q36_sql() -> str:
+    """Walk oracle: unroll the per-walk, per-step argmin-hash hop as
+    window CTEs over the same edges CTE the Spark side consumes."""
+    metapath, walk_length, walks, seed = ("A", "V"), 4, 2, 42
+    flag = {"A": "w_coauthor", "V": "w_venue", "T": "w_title"}
+    parts = [
+        _ER_EDGES_CTE.rstrip()
+        + """,
+sym AS (
+  SELECT block_key, id_a AS src, id_b AS dst, w_coauthor, w_title,
+         w_venue FROM edges
+  UNION ALL
+  SELECT block_key, id_b AS src, id_a AS dst, w_coauthor, w_title,
+         w_venue FROM edges)"""
+    ]
+    finals = []
+    for w in range(walks):
+        parts.append(
+            f""",
+w{w}s0 AS (
+  SELECT block_key, pub_id || '#{w}' AS walk_id, pub_id AS node
+  FROM pubs)"""
+        )
+        finals.append(f"SELECT block_key, walk_id, 0 AS step, node FROM w{w}s0")
+        for s in range(walk_length):
+            ch = flag[metapath[(w + s) % len(metapath)]]
+            parts.append(
+                f""",
+w{w}s{s + 1} AS (
+  SELECT block_key, walk_id, node FROM (
+    SELECT c.block_key, c.walk_id, y.dst AS node,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.block_key, c.walk_id
+             ORDER BY md5('{seed}:' || c.walk_id || ':{s + 1}:' || y.dst),
+                      y.dst) AS rn
+    FROM w{w}s{s} c
+    JOIN sym y ON y.block_key = c.block_key AND y.src = c.node
+    WHERE y.{ch} > 0)
+  WHERE rn = 1)"""
+            )
+            finals.append(
+                f"SELECT block_key, walk_id, {s + 1} AS step, node "
+                f"FROM w{w}s{s + 1}"
+            )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1328,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_name_tier": q33_name_tier,
         "q34_focal_sigs": q34_focal_sigs,
         "q35_knn_lsh_auto": q35_knn_lsh_auto,
+        "q36_metapath_walks": q36_metapath_walks,
     }
 
 
@@ -1371,4 +1443,5 @@ def oracle_sql() -> dict[str, str]:
         # auto-sized LSH: oracle evaluates the same plane-sizing
         # formula over the sf0.01 table size at generation time
         "q35_knn_lsh_auto": _q35_sql(),
+        "q36_metapath_walks": _q36_sql(),
     }
