@@ -1362,6 +1362,67 @@ w{w}s{s + 1} AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def q37_bfs_negative_weights(spark, sf):
+    """G2 oracle-checked: sparse negative-sampling distance weights
+    (2 <= BFS dist <= max_hops) over the documents-as-pubs evidence
+    graph — the distributed replacement for the reference's per-block
+    all-pairs-Dijkstra n^2 matrix (operators/walks.py)."""
+    from hgcn_name_disambiguation_spark.operators.walks import (
+        bfs_negative_weights,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg)
+    return bfs_negative_weights(edges, max_hops=4)
+
+
+def _q37_sql(max_hops: int = 4) -> str:
+    """BFS distances oracle: reach-in-<=k sets unrolled as CTEs over
+    the shared edges CTE; dist = min k where the pair appears."""
+    parts = [
+        _ER_EDGES_CTE.rstrip()
+        + """,
+sym AS (
+  SELECT DISTINCT block_key, src, dst FROM (
+    SELECT block_key, id_a AS src, id_b AS dst FROM edges
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0
+    UNION ALL
+    SELECT block_key, id_b, id_a FROM edges
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0)),
+r1 AS (SELECT block_key, src, dst FROM sym)"""
+    ]
+    for k in range(2, max_hops + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT DISTINCT block_key, src, dst FROM (
+    SELECT block_key, src, dst FROM r{k - 1}
+    UNION ALL
+    SELECT a.block_key, a.src, b.dst
+    FROM r{k - 1} a
+    JOIN sym b ON a.block_key = b.block_key AND a.dst = b.src)
+  WHERE src <> dst)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT block_key, src, dst, {k} AS k FROM r{k}"
+        for k in range(1, max_hops + 1)
+    )
+    return (
+        "".join(parts)
+        + f""",
+dists AS (
+  SELECT block_key, src, dst, MIN(k) AS dist
+  FROM ({unions})
+  GROUP BY 1, 2, 3)
+SELECT block_key, src, dst, dist,
+       CAST(dist AS DOUBLE) AS neg_weight
+FROM dists WHERE dist >= 2
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1400,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_focal_sigs": q34_focal_sigs,
         "q35_knn_lsh_auto": q35_knn_lsh_auto,
         "q36_metapath_walks": q36_metapath_walks,
+        "q37_bfs_negative_weights": q37_bfs_negative_weights,
     }
 
 
@@ -1444,4 +1506,5 @@ def oracle_sql() -> dict[str, str]:
         # formula over the sf0.01 table size at generation time
         "q35_knn_lsh_auto": _q35_sql(),
         "q36_metapath_walks": _q36_sql(),
+        "q37_bfs_negative_weights": _q37_sql(),
     }

@@ -116,3 +116,32 @@ def test_walks_xxhash_mode_same_shape(spark):
     out = mk()
     assert out.columns == ["block_key", "walk_id", "step", "node"]
     assert out.schema["step"].dataType.simpleString() == "int"
+
+
+def test_bfs_negative_weights_path_graph(spark):
+    """Path graph p1-p2-p3-p4-p5 + disconnected island p6-p7:
+    dist(p1,p3)=2, (p1,p4)=3, (p2,p5)=3, (p1,p5)=4 capped out at
+    max_hops=3; no cross-component rows; dist<=1 pairs excluded."""
+    from hgcn_name_disambiguation_spark.operators.walks import (
+        bfs_negative_weights,
+    )
+
+    rows = [
+        ("b", a, b_, 1.0, 0.0, 0.0)
+        for a, b_ in [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p6", "p7")]
+    ]
+    edges = spark.createDataFrame(
+        rows, ["block_key", "id_a", "id_b", "w_coauthor", "w_title", "w_venue"]
+    )
+    got = {
+        (r.src, r.dst): r.dist
+        for r in bfs_negative_weights(edges, max_hops=3).collect()
+    }
+    expect = {
+        ("p1", "p3"): 2, ("p3", "p1"): 2,
+        ("p2", "p4"): 2, ("p4", "p2"): 2,
+        ("p3", "p5"): 2, ("p5", "p3"): 2,
+        ("p1", "p4"): 3, ("p4", "p1"): 3,
+        ("p2", "p5"): 3, ("p5", "p2"): 3,
+    }
+    assert got == expect  # (p1,p5) dist 4 capped; islands never cross
