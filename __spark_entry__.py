@@ -1423,6 +1423,70 @@ FROM dists WHERE dist >= 2
     )
 
 
+def q38_feature_propagation(spark, sf):
+    """G4's effective computation oracle-checked: one fused
+    normalized-adjacency propagation of the sparse IDF title features
+    over the evidence graph (operators/propagate.py; the reference's
+    GCN.py:127-130 bug reduces its model to exactly this linear
+    step)."""
+    from hgcn_name_disambiguation_spark.operators.candidate_pairs import (
+        token_idf_index,
+    )
+    from hgcn_name_disambiguation_spark.operators.propagate import (
+        feature_propagation,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg)
+    feats = token_idf_index(pubs, cfg).select(
+        "block_key", "pub_id", F.col("tok").alias("token"),
+        F.col("idf").alias("w"),
+    )
+    out = feature_propagation(pubs.select("block_key", "pub_id"), edges, feats)
+    return out.select(
+        "block_key", "pub_id", "token", F.round("value", 6).alias("value")
+    )
+
+
+def _q38_sql() -> str:
+    """Propagation oracle: per-channel symmetric+self-loop adjacency,
+    degree normalization 1/sqrt(d_u d_v), neighbor-feature join, fused
+    5/1/4 sum — all over the shared edges/wtoks CTEs."""
+    total = 10.0
+    chans = [("w_coauthor", 5.0), ("w_title", 1.0), ("w_venue", 4.0)]
+    parts = [_ER_EDGES_CTE.rstrip()]
+    unions = []
+    for ch, fw in chans:
+        parts.append(
+            f""",
+sym_{ch} AS (
+  SELECT block_key, id_a AS src, id_b AS dst, {ch} AS w FROM edges
+  WHERE {ch} > 0
+  UNION ALL
+  SELECT block_key, id_b, id_a, {ch} FROM edges WHERE {ch} > 0
+  UNION ALL
+  SELECT block_key, pub_id, pub_id, 1.0 FROM pubs),
+deg_{ch} AS (
+  SELECT block_key, src, SUM(w) AS d FROM sym_{ch} GROUP BY 1, 2)"""
+        )
+        unions.append(
+            f"""SELECT s.block_key, s.src AS pub_id, f.tok AS token,
+       s.w / sqrt(da.d * db.d) * f.idf * {fw / total} AS v
+FROM sym_{ch} s
+JOIN deg_{ch} da ON da.block_key = s.block_key AND da.src = s.src
+JOIN deg_{ch} db ON db.block_key = s.block_key AND db.src = s.dst
+JOIN wtoks f ON f.block_key = s.block_key AND f.pub_id = s.dst"""
+        )
+    return (
+        "".join(parts)
+        + "\nSELECT block_key, pub_id, token, ROUND(SUM(v), 6) AS value FROM (\n"
+        + "\nUNION ALL\n".join(unions)
+        + ") GROUP BY 1, 2, 3\n"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1462,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_knn_lsh_auto": q35_knn_lsh_auto,
         "q36_metapath_walks": q36_metapath_walks,
         "q37_bfs_negative_weights": q37_bfs_negative_weights,
+        "q38_feature_propagation": q38_feature_propagation,
     }
 
 
@@ -1507,4 +1572,5 @@ def oracle_sql() -> dict[str, str]:
         "q35_knn_lsh_auto": _q35_sql(),
         "q36_metapath_walks": _q36_sql(),
         "q37_bfs_negative_weights": _q37_sql(),
+        "q38_feature_propagation": _q38_sql(),
     }

@@ -242,6 +242,33 @@ def org_edges(
     )
 
 
+def token_idf_index(
+    pubs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-block IDF-weighted token index (block_key, pub_id, tok,
+    idf, df, n_block) — hot tokens above max_token_df_per_block capped
+    out. Shared by title_edges (J1) and feature propagation (G4):
+    idf(tok) = ln((N_block + 1) / df_block(tok))."""
+    idx = pubs.select(
+        "block_key", "pub_id", F.explode("title_toks").alias("tok")
+    )
+    # df per (block, token); hot tokens capped out of the index.
+    df_counts = idx.groupBy("block_key", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    block_sizes = pubs.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_block")
+    )
+    return (
+        idx.join(df_counts, ["block_key", "tok"])
+        .where(F.col("df") <= config.max_token_df_per_block)
+        # No broadcast hint: one row per block can itself be huge at
+        # 10^12 scale — let AQE pick broadcast when it actually fits.
+        .join(block_sizes, "block_key")
+        .withColumn("idf", F.log((F.col("n_block") + 1.0) / F.col("df")))
+    )
+
+
 def title_edges(
     pubs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -272,24 +299,7 @@ def title_edges(
     emits 1-token pairs either way; only post-agg retention differs,
     still bounded by the hot-token cap.
     """
-    idx = pubs.select(
-        "block_key", "pub_id", F.explode("title_toks").alias("tok")
-    )
-    # df per (block, token); hot tokens capped out of the index.
-    df_counts = idx.groupBy("block_key", "tok").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    block_sizes = pubs.groupBy("block_key").agg(
-        F.count(F.lit(1)).alias("n_block")
-    )
-    weighted = (
-        idx.join(df_counts, ["block_key", "tok"])
-        .where(F.col("df") <= config.max_token_df_per_block)
-        # No broadcast hint: one row per block can itself be huge at
-        # 10^12 scale — let AQE pick broadcast when it actually fits.
-        .join(block_sizes, "block_key")
-        .withColumn("idf", F.log((F.col("n_block") + 1.0) / F.col("df")))
-    )
+    weighted = token_idf_index(pubs, config)
     # Per-pub idf-vector norm INLINE via a window (same shuffle key a
     # separate groupBy branch would use) so it rides the self-join as
     # payload. The alternative — a norms frame joined back onto the
