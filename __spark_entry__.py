@@ -1366,7 +1366,10 @@ def q37_bfs_negative_weights(spark, sf):
     """G2 oracle-checked: sparse negative-sampling distance weights
     (2 <= BFS dist <= max_hops) over the documents-as-pubs evidence
     graph — the distributed replacement for the reference's per-block
-    all-pairs-Dijkstra n^2 matrix (operators/walks.py)."""
+    all-pairs-Dijkstra n^2 matrix (operators/walks.py). max_hops=2
+    here: the synthetic graph closes within 3 hops, so deeper hops
+    only re-emit the same closure (~1.1M rows at sf0.1) — depth
+    behavior + the cap are pinned by test_walks instead."""
     from hgcn_name_disambiguation_spark.operators.walks import (
         bfs_negative_weights,
     )
@@ -1375,10 +1378,10 @@ def q37_bfs_negative_weights(spark, sf):
     pubs = _docs_as_pubs(docs)
     cfg = PipelineConfig(max_token_df_per_block=40)
     edges = combined_edges(pubs, cfg)
-    return bfs_negative_weights(edges, max_hops=4)
+    return bfs_negative_weights(edges, max_hops=2)
 
 
-def _q37_sql(max_hops: int = 4) -> str:
+def _q37_sql(max_hops: int = 2) -> str:
     """BFS distances oracle: reach-in-<=k sets unrolled as CTEs over
     the shared edges CTE; dist = min k where the pair appears."""
     parts = [
@@ -1387,10 +1390,10 @@ def _q37_sql(max_hops: int = 4) -> str:
 sym AS (
   SELECT DISTINCT block_key, src, dst FROM (
     SELECT block_key, id_a AS src, id_b AS dst FROM edges
-    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0
     UNION ALL
     SELECT block_key, id_b, id_a FROM edges
-    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0)),
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0)),
 r1 AS (SELECT block_key, src, dst FROM sym)"""
     ]
     for k in range(2, max_hops + 1):
