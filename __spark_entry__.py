@@ -1490,6 +1490,97 @@ JOIN wtoks f ON f.block_key = s.block_key AND f.pub_id = s.dst"""
     )
 
 
+def q39_openalex_ingest(spark, sf):
+    """S6/O3 oracle-checked: the OpenAlex snapshot connector — author
+    name-match + max_results cap + label map, per-author max_works cap,
+    unique-works first-label-wins dedup, field defaults
+    (operators/openalex.py; openAlex_to_HGCN.py:14-191,232-246). Runs
+    over the deterministic NDJSON snapshot fixture (same files the
+    DuckDB oracle reads); sf-independent by construction."""
+    from hgcn_name_disambiguation_spark.fixtures.openalex import (
+        QUERY_NAME,
+        ensure_openalex_fixture,
+    )
+    from hgcn_name_disambiguation_spark.operators.openalex import (
+        match_openalex_authors,
+        openalex_records,
+        read_openalex_authors,
+        read_openalex_works,
+    )
+
+    d = ensure_openalex_fixture()
+    matched = match_openalex_authors(
+        read_openalex_authors(spark, d), QUERY_NAME, max_results=6
+    )
+    recs = openalex_records(
+        matched, read_openalex_works(spark, d), QUERY_NAME, max_works=8
+    )
+    return recs.select(
+        "block",
+        "pub_id",
+        "title",
+        F.col("year").cast("long").alias("year"),
+        F.concat_ws(", ", "authors").alias("authors_list"),
+        "venue",
+        "org",
+        "label",
+    )
+
+
+def _q39_sql() -> str:
+    """Same snapshot semantics in DuckDB over the same NDJSON files:
+    QUALIFY-window caps stand in for the connector's row_number caps."""
+    from hgcn_name_disambiguation_spark.fixtures.openalex import (
+        ensure_openalex_fixture,
+    )
+
+    d = ensure_openalex_fixture()
+    return f"""
+WITH a AS (
+  SELECT replace(id, 'https://openalex.org/', '') AS author_id,
+         coalesce(works_count, 0) AS works_count,
+         string_split_regex(trim(lower(display_name)), '\\s+') AS toks
+  FROM read_ndjson_auto('{d}/authors.jsonl')
+),
+matched AS (
+  SELECT author_id,
+         row_number() OVER (ORDER BY works_count DESC, author_id ASC) - 1 AS label
+  FROM a
+  WHERE toks[1] = 'wei' AND len(toks) > 1 AND toks[len(toks)] = 'wang'
+  QUALIFY row_number() OVER (ORDER BY works_count DESC, author_id ASC) <= 6
+),
+w AS (
+  SELECT replace(id, 'https://openalex.org/', '') AS pub_id,
+         coalesce(title, 'Untitled publication') AS title,
+         coalesce(publication_year, 0) AS year,
+         list_transform(authorships, x -> x.author.display_name) AS authors,
+         list_transform(authorships,
+                        x -> replace(x.author.id, 'https://openalex.org/', '')) AS author_ids,
+         coalesce(primary_location.source.display_name, 'Unknown') AS venue
+  FROM read_ndjson_auto('{d}/works.jsonl')
+),
+memb AS (
+  SELECT pub_id, year, unnest(author_ids) AS aid FROM w
+),
+jm AS (
+  SELECT memb.pub_id, memb.year, m.author_id, m.label
+  FROM memb JOIN matched m ON m.author_id = memb.aid
+),
+capped AS (
+  SELECT * FROM jm
+  QUALIFY row_number() OVER (PARTITION BY author_id ORDER BY year DESC, pub_id ASC) <= 8
+),
+owner AS (
+  SELECT pub_id, label FROM capped
+  QUALIFY row_number() OVER (PARTITION BY pub_id ORDER BY label ASC) = 1
+)
+SELECT 'wei wang' AS block, o.pub_id, w.title, w.year,
+       array_to_string(w.authors, ', ') AS authors_list,
+       w.venue, 'null' AS org, CAST(o.label AS INT) AS label
+FROM owner o JOIN w USING (pub_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1530,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_metapath_walks": q36_metapath_walks,
         "q37_bfs_negative_weights": q37_bfs_negative_weights,
         "q38_feature_propagation": q38_feature_propagation,
+        "q39_openalex_ingest": q39_openalex_ingest,
     }
 
 
@@ -1576,4 +1668,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_metapath_walks": _q36_sql(),
         "q37_bfs_negative_weights": _q37_sql(),
         "q38_feature_propagation": _q38_sql(),
+        "q39_openalex_ingest": _q39_sql(),
     }
