@@ -1581,6 +1581,25 @@ FROM owner o JOIN w USING (pub_id)
 """
 
 
+def q40_venue_counts(spark, sf):
+    """A10 oracle-checked: venue -> paper-count table — regenerates
+    the reference's confNum*.txt artifacts (data-only files with no
+    generating code) from the pubs frame (operators/report.py)."""
+    from hgcn_name_disambiguation_spark.operators.report import (
+        venue_paper_counts,
+    )
+
+    return venue_paper_counts(_docs_as_pubs(_t(spark, sf, "documents")))
+
+
+Q40_SQL = """
+SELECT source AS venue, COUNT(*) AS paper_count
+FROM documents
+WHERE source IS NOT NULL
+GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1622,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_bfs_negative_weights": q37_bfs_negative_weights,
         "q38_feature_propagation": q38_feature_propagation,
         "q39_openalex_ingest": q39_openalex_ingest,
+        "q40_venue_counts": q40_venue_counts,
     }
 
 
@@ -1669,4 +1689,5 @@ def oracle_sql() -> dict[str, str]:
         "q37_bfs_negative_weights": _q37_sql(),
         "q38_feature_propagation": _q38_sql(),
         "q39_openalex_ingest": _q39_sql(),
+        "q40_venue_counts": Q40_SQL,
     }

@@ -94,6 +94,32 @@ def clusters_report(clustered: DataFrame) -> DataFrame:
     )
 
 
+def venue_paper_counts(pubs: DataFrame) -> DataFrame:
+    """A10: venue -> paper-count table.
+
+    The reference ships these as data artifacts
+    (``experimental-results/confNum{0-4,All}.txt``: TAB-separated
+    ``venue<TAB>count`` rows, no generating code in the repo — an
+    upstream AMiner-pipeline product). One aggregation regenerates
+    them from any pubs frame; ``venue`` is the parser-normalized
+    venue, and NULL venues (the reference's "null"/"Unknown"
+    placeholders) are excluded since the artifact files carry only
+    real venue strings.
+    """
+    return (
+        pubs.where(F.col("venue").isNotNull())
+        .groupBy("venue")
+        .agg(F.count(F.lit(1)).alias("paper_count"))
+    )
+
+
+def write_venue_counts(pubs: DataFrame, path: str) -> None:
+    """A10 sink in the artifact's TSV shape (venue<TAB>count)."""
+    venue_paper_counts(pubs).orderBy("venue").coalesce(1).write.mode(
+        "overwrite"
+    ).option("sep", "\t").csv(path)
+
+
 def write_clusters_json(clustered: DataFrame, path: str) -> None:
     """S8: JSON sink, one file tree partitioned by block."""
     clusters_report(clustered).write.mode("overwrite").partitionBy(

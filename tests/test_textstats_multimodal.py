@@ -13,6 +13,7 @@ from hgcn_name_disambiguation_spark.operators.report import (
     clusters_report,
     dense_cluster_index,
     majority_vote_assignment,
+    venue_paper_counts,
     with_singleton_topup,
 )
 
@@ -110,3 +111,15 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(media, every_ms=1000).collect()
     vids = media.where(F.col("kind") == "video").count()
     assert len(frames) == vids * 5  # 5000ms / 1000ms
+
+
+def test_venue_paper_counts(spark):
+    """A10: regenerates the reference's confNum venue->count artifact
+    shape; NULL venues (placeholder affiliations) are excluded."""
+    df = spark.createDataFrame(
+        [("b", "p1", "icde"), ("b", "p2", "icde"), ("b", "p3", "kdd"),
+         ("b", "p4", None)],
+        ["block_key", "pub_id", "venue"],
+    )
+    out = {r.venue: r.paper_count for r in venue_paper_counts(df).collect()}
+    assert out == {"icde": 2, "kdd": 1}
