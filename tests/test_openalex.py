@@ -109,3 +109,16 @@ def test_repo_files_roundtrip(spark):
     # block_key is the query name for every row
     assert pubs.select("block_key").distinct().collect()[0][0] == QUERY_NAME
     pubs.unpersist()
+
+
+def test_plan_broadcasts_matched_authors(spark):
+    """Scale shape: both joins build on the bounded side — the
+    authorship join broadcasts the capped matched-author dim, and the
+    final works join broadcasts the capped owner set (<= max_results
+    * max_works rows) — so a petabyte works snapshot never shuffles."""
+    authors, works = _frames(spark)
+    m = match_openalex_authors(authors, QUERY_NAME, max_results=6)
+    recs = openalex_records(m, works, QUERY_NAME, max_works=8)
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
