@@ -53,6 +53,34 @@ def sessionize_stream(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    *,
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+    content_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch exact dedup (operators/dedup.py
+    q13): emit each document whose content sha256 has not been seen
+    within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keys the state store on the hash
+    only for the watermark window, so state is bounded by (ingest
+    rate x horizon), not by corpus size — the property that matters
+    when the stream is a 100-TB crawl. Exactly-once within the
+    horizon; re-crawls older than the horizon re-emit (by design —
+    the batch dedup over the accumulated sink is the global pass).
+    The hash is computed JVM-side (sha2), no Python in the hot path.
+    """
+    return (
+        docs.withColumn(
+            "content_sha", F.sha2(F.col(content_col).cast("binary"), 256)
+        )
+        .withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
 class IncrementalDisambiguator:
     """foreachBatch incremental ER over a stream of repo_files rows.
 

@@ -156,3 +156,43 @@ def test_block_pressure_monitor_state_across_batches(spark, tmp_path):
     assert js2.n_signatures == 6  # {sig0-2} from b1 union {extra0-2}
     assert js2.gate_pressure  # 7 >= amb_gate_min_n=6
     assert (1, "lei wang") not in rows, "untouched block re-emitted"
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: duplicate content within the watermark
+    horizon is emitted once; distinct content all passes."""
+    from hgcn_name_disambiguation_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        {"ts": f"2024-01-01 00:{m:02d}:00", "doc_id": m,
+         "text": f"doc body {m % 7}"}  # 7 distinct bodies over 20 docs
+        for m in range(20)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_exact_dedup(stream, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT text, content_sha FROM dedup_out").collect()
+    finally:
+        q.stop()
+    assert len(got) == 7
+    assert len({r.content_sha for r in got}) == 7
+    # matches the batch distinct-on-sha result
+    batch = df.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("s")
+    ).distinct().count()
+    assert batch == 7
