@@ -1600,6 +1600,97 @@ GROUP BY source
 """
 
 
+def q41_semantic_docvecs(spark, sf):
+    """A3/S7 oracle-checked: semantic.document_vectors — idf-weighted
+    mean of title-token vectors per document — run against a
+    DETERMINISTIC md5-derived word-vector table standing in for the
+    trained embedding (the Word2Vec fit itself is iterative and not
+    SQL-expressible; what this verifies bit-for-bit is the whole
+    distributed featurization pipeline: distinct-token explode,
+    corpus-df/idf, vocab min-count gate, per-component weighted agg,
+    array rebuild). Vocab = tokens with corpus df >= 2, the
+    w2v_min_count analog."""
+    from hgcn_name_disambiguation_spark.operators.semantic import (
+        document_vectors,
+    )
+
+    pubs = _docs_as_pubs(_t(spark, sf, "documents")).select(
+        "block_key", "pub_id", "title_toks"
+    )
+    toks = pubs.select(
+        "pub_id", F.explode("title_toks").alias("word")
+    ).distinct()
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .withColumn("h", F.md5("word"))
+    )
+    comp = lambda j: (  # noqa: E731 — 3 md5 chars -> [0, 1) component
+        (
+            F.ascii(F.substring("h", j * 4 + 1, 1)) * 52
+            + F.ascii(F.substring("h", j * 4 + 2, 1)) * 7
+            + F.ascii(F.substring("h", j * 4 + 3, 1))
+        )
+        % 997
+    ) / 997.0
+    words = vocab.select(
+        "word", F.array(*[comp(j) for j in range(4)]).alias("vector")
+    )
+    out = document_vectors(pubs, words)
+    return out.where(F.col("vec").isNotNull()).select(
+        "block_key",
+        "pub_id",
+        *[
+            F.round(F.element_at("vec", j + 1), 4).alias(f"v{j}")
+            for j in range(4)
+        ],
+    )
+
+
+Q41_SQL = r"""
+WITH pubs AS (
+  SELECT lang AS block_key, CAST(doc_id AS VARCHAR) AS pub_id, text
+  FROM documents),
+toks AS (
+  SELECT DISTINCT block_key, pub_id, tok FROM (
+    SELECT block_key, pub_id,
+           unnest(string_split(trim(regexp_replace(lower(regexp_replace(
+             text, '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~—～]+', ' ', 'g')),
+             '\s+', ' ', 'g')), ' ')) AS tok
+    FROM pubs)
+  WHERE length(tok) > 1 AND tok NOT IN (
+    'at','based','in','of','for','on','and','to','an','using','with',
+    'the','method','algrithom','by','model')),
+n AS (SELECT COUNT(*) AS n_docs FROM pubs),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+wv AS (
+  SELECT tok, df,
+         ((ascii(substr(h, 1, 1)) * 52 + ascii(substr(h, 2, 1)) * 7
+           + ascii(substr(h, 3, 1))) % 997) / 997.0 AS c0,
+         ((ascii(substr(h, 5, 1)) * 52 + ascii(substr(h, 6, 1)) * 7
+           + ascii(substr(h, 7, 1))) % 997) / 997.0 AS c1,
+         ((ascii(substr(h, 9, 1)) * 52 + ascii(substr(h, 10, 1)) * 7
+           + ascii(substr(h, 11, 1))) % 997) / 997.0 AS c2,
+         ((ascii(substr(h, 13, 1)) * 52 + ascii(substr(h, 14, 1)) * 7
+           + ascii(substr(h, 15, 1))) % 997) / 997.0 AS c3
+  FROM (SELECT tok, df, md5(tok) AS h FROM dfreq WHERE df >= 2)),
+widf AS (
+  SELECT t.block_key, t.pub_id, w.c0, w.c1, w.c2, w.c3,
+         ln(n_docs / (1.0 + w.df)) AS idf
+  FROM toks t JOIN wv w USING (tok) CROSS JOIN n),
+agg AS (
+  SELECT block_key, pub_id, SUM(idf) AS wsum,
+         SUM(idf * c0) AS s0, SUM(idf * c1) AS s1,
+         SUM(idf * c2) AS s2, SUM(idf * c3) AS s3
+  FROM widf GROUP BY 1, 2)
+SELECT block_key, pub_id,
+       ROUND(s0 / wsum, 4) AS v0, ROUND(s1 / wsum, 4) AS v1,
+       ROUND(s2 / wsum, 4) AS v2, ROUND(s3 / wsum, 4) AS v3
+FROM agg WHERE wsum > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1642,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_feature_propagation": q38_feature_propagation,
         "q39_openalex_ingest": q39_openalex_ingest,
         "q40_venue_counts": q40_venue_counts,
+        "q41_semantic_docvecs": q41_semantic_docvecs,
     }
 
 
@@ -1690,4 +1782,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_feature_propagation": _q38_sql(),
         "q39_openalex_ingest": _q39_sql(),
         "q40_venue_counts": Q40_SQL,
+        "q41_semantic_docvecs": Q41_SQL,
     }

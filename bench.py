@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q36_metapath_walks",
     "q37_bfs_negative_weights",
     "q38_feature_propagation",
+    # round-3 semantic featurization (A3): per-component weighted agg
+    "q41_semantic_docvecs",
 ]
 
 

@@ -214,6 +214,26 @@ class PipelineConfig:
     # cross pair-edges (corroboration; 1 disables the gate).
     cluster_merge_min_edges: int = 2
 
+    # --- corpus-internal semantic channel (operators.semantic) ---
+    # Word2Vec trained on the corpus's OWN title+venue token sequences
+    # (S7/A3 without the reference's external pre-trained embedding);
+    # per-pub doc vector = idf-weighted mean of title-token vectors.
+    # The GHAC parity path adds semantic_alpha * cos(vec_a, vec_b)
+    # (cosines below semantic_cos_floor dropped) to the in-block sim
+    # matrix — semantic evidence reaches pairs with ZERO structural
+    # evidence, which is exactly the measured recall ceiling (94-98%
+    # of recall-tail misses share no token/coauthor/venue/org).
+    # Measured (REFERENCE_EVAL_GHAC.md): archived-100 macro F1
+    # 0.8528 -> 0.8705 at seed 421 (0.863-0.870 across seeds).
+    semantic_alpha: float = 0.03
+    semantic_cos_floor: float = 0.50
+    w2v_dim: int = 100
+    w2v_window: int = 8           # must span the appended venue tokens
+    w2v_iter: int = 10
+    w2v_min_count: int = 2        # vocab bound = the fit's memory bound
+    w2v_seed: int = 421
+    w2v_num_partitions: int = 1   # 1 = deterministic fit; raise at scale
+
     # --- misc ---
     stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)
     venue_null_values: tuple[str, ...] = ("", "null", "none", "unknown")

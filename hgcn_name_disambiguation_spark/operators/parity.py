@@ -131,6 +131,8 @@ def _ghac_block(
     tau: float,
     max_n: int,
     use_combined_modularity: bool = False,
+    sem_alpha: float = 0.0,
+    sem_floor: float = 0.5,
 ) -> pd.DataFrame:
     block = (
         pubs_pdf["block_key"].iloc[0]
@@ -179,12 +181,36 @@ def _ghac_block(
                 continue
             mod_adj[a, b] = mod_adj[b, a] = float(w)
 
+    # Semantic channel (operators.semantic): dense in-block cosine of
+    # per-pub doc vectors, added at weight sem_alpha where the cosine
+    # clears sem_floor. Dense n x n is fine HERE — this code path is
+    # already bounded by max_block_for_dense. k-search bounds below
+    # deliberately use the STRUCTURAL sim only: the dense channel
+    # would collapse CC(sim > 0) to one component and degenerate the
+    # search range.
+    sim_struct = sim
+    if sem_alpha > 0 and "vec" in pubs_pdf.columns:
+        vec_by_id = dict(zip(pubs_pdf["pub_id"], pubs_pdf["vec"]))
+        rows = [vec_by_id.get(p) for p in ids]
+        dims = [len(v) for v in rows if v is not None and len(v)]
+        if dims:
+            M = np.zeros((n, dims[0]))
+            for i, v in enumerate(rows):
+                if v is not None and len(v) == dims[0]:
+                    M[i] = v
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Mn = M / norms
+            C = Mn @ Mn.T
+            np.fill_diagonal(C, 0.0)
+            sim = sim + sem_alpha * np.where(C >= sem_floor, C, 0.0)
+
     if k is None:
         # reference k-search (name_disambiguation.py:597-687): bounds
         # from CC of the (sim > tau) and (sim > 0) graphs; argmax
         # modularity of the similarity graph over HAC labelings.
-        k_lo = max(2, _components(sim > tau))
-        k_hi = max(k_lo, _components(sim > 0))
+        k_lo = max(2, _components(sim_struct > tau))
+        k_hi = max(k_lo, _components(sim_struct > 0))
         best_q, best_labels, best_k = -np.inf, None, k_lo
         for kk in range(k_lo, k_hi + 1):
             labels = _average_linkage(-sim, kk)
@@ -216,8 +242,16 @@ def ghac_clusters(
     max_block_for_dense: int = 400,
     preclust_tau: float | None = None,
     modularity_graph: str = "sim",
+    doc_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-block GHAC labels via cogrouped applyInPandas.
+
+    ``doc_vecs`` (operators.semantic.document_vectors output) switches
+    on the semantic channel: per-block dense doc-vector cosines are
+    added to the sim matrix at ``config.semantic_alpha`` (cosines
+    below ``config.semantic_cos_floor`` dropped). Measured on the
+    reference's labeled AMiner corpus (REFERENCE_EVAL_GHAC.md):
+    archived-100 macro F1 0.8528 -> 0.8705.
 
     k_from_labels=True mirrors the reference's standard mode (k =
     count of distinct truth labels per block, ``:1229``); False mirrors
@@ -248,6 +282,14 @@ def ghac_clusters(
         p = pubs.select(
             "block_key", "pub_id", F.lit(None).cast("int").alias("_k")
         )
+    sem_alpha = 0.0
+    if doc_vecs is not None and config.semantic_alpha > 0:
+        sem_alpha = config.semantic_alpha
+        p = p.join(
+            doc_vecs.select("block_key", "pub_id", "vec"),
+            ["block_key", "pub_id"],
+            "left",
+        )
     use_combined = modularity_graph == "combined"
     cols = ["block_key", "id_a", "id_b", F.col(score_col).alias("score")]
     if use_combined and {
@@ -272,7 +314,10 @@ def ghac_clusters(
             # truth, fall back to the k-search path instead of feeding
             # k=0 into the linkage (which would emit garbage labels).
             k = None
-        return _ghac_block(pubs_pdf, pairs_pdf, k, tau, max_n, use_combined)
+        return _ghac_block(
+            pubs_pdf, pairs_pdf, k, tau, max_n, use_combined,
+            sem_alpha=sem_alpha, sem_floor=config.semantic_cos_floor,
+        )
 
     return (
         p.groupBy("block_key")

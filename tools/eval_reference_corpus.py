@@ -81,6 +81,13 @@ def main(argv=None) -> int:
         help="PipelineConfig override, e.g. --set strong_title_cos=0.6",
     )
     ap.add_argument(
+        "--semantic",
+        action="store_true",
+        help="ghac mode: train corpus-internal word2vec (operators."
+        "semantic) and add the doc-vector cosine channel to the "
+        "per-block sim matrix",
+    )
+    ap.add_argument(
         "--ghac-ksearch",
         action="store_true",
         help="ghac mode: ignore truth labels and run the reference's "
@@ -127,10 +134,18 @@ def main(argv=None) -> int:
             ghac_clusters,
         )
 
+        doc_vecs = None
+        if args.semantic:
+            from hgcn_name_disambiguation_spark.operators.semantic import (
+                semantic_document_vectors,
+            )
+
+            doc_vecs = semantic_document_vectors(result.pubs, cfg)
         g = ghac_clusters(
             result.pubs,
             result.scored,
             cfg,
+            doc_vecs=doc_vecs,
             k_from_labels=not args.ghac_ksearch,
             # parity setting: the reference runs every block dense
             # (its own laptop ceiling is ~10^4); the engine default
@@ -217,6 +232,8 @@ def main(argv=None) -> int:
     if args.mode == "ghac":
         mode_label += "-ksearch" if args.ghac_ksearch else "-fixedk"
         mode_label += f"-{args.ghac_modularity}mod"
+        if args.semantic:
+            mode_label += "-semantic"
     headline = {
         "metric": "macro_f1_reference_corpus",
         "value": round(avg("f1"), 4),
