@@ -1691,6 +1691,139 @@ FROM agg WHERE wsum > 0
 """
 
 
+def q42_contamination(spark, sf):
+    """Training-set decontamination: flag documents sharing 5-gram
+    word spans with an eval/benchmark set (here the deterministic
+    doc_id % 37 == 0 slice of the corpus standing in for a held-out
+    benchmark). The eval shingle set is broadcast; the corpus side is
+    one scan + one partial-aggregated shuffle on doc_id."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 37 == 0)
+    return contamination_flags(d, ev, n=5, ratio_threshold=0.2)
+
+
+Q42_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+tok AS (SELECT doc_id, string_split(ntext, ' ') AS l FROM docs),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM tok),
+sh0 AS (
+  SELECT doc_id,
+         concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                   lead(tok, 3) OVER w, lead(tok, 4) OVER w) AS shingle,
+         (lead(tok, 4) OVER w IS NOT NULL) AS fullsh
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE fullsh),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS ns,
+         SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS ov
+  FROM sh s LEFT JOIN ev e USING (shingle) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(h.ns, 0) AS n_shingles,
+       COALESCE(h.ov, 0) AS overlap_shingles,
+       ROUND(COALESCE(h.ov, 0) * 1.0
+             / GREATEST(COALESCE(h.ns, 0), 1), 6) AS contamination_ratio,
+       CASE WHEN COALESCE(h.ov, 0) * 1.0
+                 / GREATEST(COALESCE(h.ns, 0), 1) >= 0.2
+                 AND COALESCE(h.ov, 0) >= 1
+            THEN 1 ELSE 0 END AS contaminated
+FROM docs d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+_Q43_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "zh": 0.1, "es": 0.0}
+
+
+def q43_stratified_sample(spark, sf):
+    """Deterministic hash-based stratified sampling (dataset mixing):
+    per-lang keep rates, kept set a pure function of (seed, doc_id) —
+    zero shuffle, reproducible across reruns and cluster sizes."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, _Q43_RATES, stratum_col="lang", id_col="doc_id", seed=42
+    ).select("doc_id", "lang")
+
+
+def _q43_sql() -> str:
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        sample_cutoff_hex,
+    )
+
+    whens = "\n         ".join(
+        f"WHEN '{s}' THEN '{sample_cutoff_hex(r)}'"
+        for s, r in sorted(_Q43_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) <
+      CASE lang
+         {whens}
+         ELSE '{sample_cutoff_hex(0.0)}'
+      END
+"""
+
+
+def q44_repetition_filter(spark, sf):
+    """Gopher-style repetition quality signals per document:
+    duplicate-token fraction and top-bigram fraction with a
+    repetitive flag — two map-side-combined aggregations on doc_id,
+    no Python in the plan."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        repetition_features,
+    )
+
+    return repetition_features(_t(spark, sf, "documents"))
+
+
+Q44_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+tok AS (SELECT doc_id, string_split(ntext, ' ') AS l FROM docs),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM tok),
+uni AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+  FROM toks GROUP BY 1),
+bg0 AS (
+  SELECT doc_id, concat_ws(' ', tok, lead(tok, 1) OVER w) AS bigram,
+         (lead(tok, 1) OVER w IS NOT NULL) AS fullbg
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM bg0 WHERE fullbg GROUP BY 1, 2),
+bga AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+  FROM bgc GROUP BY 1)
+SELECT u.doc_id, u.n_tokens,
+       ROUND(1.0 - u.n_distinct * 1.0 / GREATEST(u.n_tokens, 1), 6)
+         AS dup_token_frac,
+       ROUND(COALESCE(b.top_c, 0) * 1.0
+             / GREATEST(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac,
+       CASE WHEN (1.0 - u.n_distinct * 1.0 / GREATEST(u.n_tokens, 1)) > 0.65
+              OR (COALESCE(b.top_c, 0) * 1.0
+                  / GREATEST(COALESCE(b.n_bigrams, 0), 1)) > 0.10
+            THEN 1 ELSE 0 END AS repetitive
+FROM uni u LEFT JOIN bga b USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1734,6 +1867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_openalex_ingest": q39_openalex_ingest,
         "q40_venue_counts": q40_venue_counts,
         "q41_semantic_docvecs": q41_semantic_docvecs,
+        "q42_contamination": q42_contamination,
+        "q43_stratified_sample": q43_stratified_sample,
+        "q44_repetition_filter": q44_repetition_filter,
     }
 
 
@@ -1783,4 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_openalex_ingest": _q39_sql(),
         "q40_venue_counts": Q40_SQL,
         "q41_semantic_docvecs": Q41_SQL,
+        "q42_contamination": Q42_SQL,
+        "q43_stratified_sample": _q43_sql(),
+        "q44_repetition_filter": Q44_SQL,
     }

@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q38_feature_propagation",
     # round-3 semantic featurization (A3): per-component weighted agg
     "q41_semantic_docvecs",
+    # curation ops: broadcast decontamination + repetition signals
+    "q42_contamination",
+    "q44_repetition_filter",
 ]
 
 

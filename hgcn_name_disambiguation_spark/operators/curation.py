@@ -1,0 +1,186 @@
+"""Dataset-curation operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference (which is a pure entity-resolution
+pipeline): the three curation steps every 100-TB pretraining corpus run
+needs next to dedup — benchmark decontamination, deterministic stratified
+sampling for dataset mixing, and repetition-based quality filtering
+(Gopher-style repetition signals, Rae et al. 2021, arXiv:2112.11446).
+
+Scale notes (all three are single-pass, JVM-side, no Python UDFs):
+
+- ``contamination_flags`` — the eval/benchmark side of a decontamination
+  run is small (benchmarks are MBs, the corpus is TBs), so its distinct
+  shingle set is **broadcast**; the corpus side is one scan + one
+  partial-aggregated shuffle on ``doc_id``. Nothing in the plan grows
+  with corpus size except that one map-side-combined aggregation.
+- ``stratified_sample`` — a pure narrow filter (hash-compare per row, no
+  shuffle at all), deterministic in (seed, id): re-running the job or
+  adding executors cannot change which rows are kept, which is what
+  makes the sample reproducible across a 1000-executor rerun.
+- ``repetition_features`` — two aggregations keyed by ``doc_id`` (token
+  stats, bigram mode), both map-side combined; the bigram frame never
+  materialises more than one row per (doc, distinct bigram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hgcn_name_disambiguation_spark.operators.dedup import (
+    normalized_text,
+    shingle_index,
+)
+
+# repetition-filter defaults, calibrated on the synthetic documents
+# corpus (sf0.01 medians: dup_token_frac 0.54, top_bigram_frac 0.033,
+# p90 0.069) so the flag marks the repetitive tail, not everything.
+DUP_TOKEN_FRAC_THRESHOLD = 0.65
+TOP_BIGRAM_FRAC_THRESHOLD = 0.10
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    ratio_threshold: float = 0.2,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing word ``n``-gram spans with an
+    eval/benchmark set (training-set decontamination).
+
+    Returns one row per input doc: (doc_id, n_shingles,
+    overlap_shingles, contamination_ratio, contaminated) where
+    contamination_ratio = overlapping distinct shingles / doc's
+    distinct shingles and ``contaminated`` = ratio >= ratio_threshold
+    AND overlap >= min_hits (int 0/1 for cross-engine stability).
+
+    The eval shingle set is broadcast — decontamination's defining
+    asymmetry is a tiny benchmark side vs an arbitrarily large corpus
+    side, so the corpus is never shuffled by shingle.
+    """
+    doc_sh = shingle_index(docs, id_col=id_col, text_col=text_col, n=n)
+    eval_sh = (
+        shingle_index(eval_docs, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("overlap_shingles"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    ns = F.coalesce(F.col("n_shingles"), F.lit(0))
+    ov = F.coalesce(F.col("overlap_shingles"), F.lit(0))
+    ratio = ov * F.lit(1.0) / F.greatest(ns, F.lit(1))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        ns.alias("n_shingles"),
+        ov.alias("overlap_shingles"),
+        F.round(ratio, 6).alias("contamination_ratio"),
+        ((ratio >= ratio_threshold) & (ov >= min_hits))
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+def sample_cutoff_hex(rate: float) -> str:
+    """15-hex-digit cutoff so that md5-prefix < cutoff keeps ~``rate``
+    of rows. String comparison of lowercase hex is lexicographic =
+    numeric, and both Spark and DuckDB produce identical lowercase md5
+    — the same cutoff literal drives both engines bit-identically."""
+    rate = min(max(rate, 0.0), 1.0)
+    return format(int(rate * (16**15)), "015x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (dataset mixing).
+
+    Keeps a row iff the first 15 hex chars of md5("{seed}:{id}") fall
+    below the stratum's rate cutoff — a pure narrow filter (zero
+    shuffle, zero RNG state), so the kept set is a function of
+    (seed, id) only: stable under reruns, repartitioning, and cluster
+    resizes, and two jobs sampling at rates r1 < r2 produce nested
+    samples (the r1 set is a subset of the r2 set), which is how
+    mixing-weight sweeps stay comparable across runs.
+    """
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+    )
+    cutoff = F.lit(sample_cutoff_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        cutoff = F.when(
+            F.col(stratum_col) == stratum, F.lit(sample_cutoff_hex(rate))
+        ).otherwise(cutoff)
+    return df.where(hx < cutoff)
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_token_frac_threshold: float = DUP_TOKEN_FRAC_THRESHOLD,
+    top_bigram_frac_threshold: float = TOP_BIGRAM_FRAC_THRESHOLD,
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns (doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+    repetitive): dup_token_frac = 1 - distinct/total tokens,
+    top_bigram_frac = occurrences of the doc's most frequent bigram /
+    total bigrams, repetitive (int 0/1) = either fraction above its
+    threshold. Both signals are the token-count analogue of Rae et
+    al.'s duplicate-line / top-2-gram character fractions.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    uni = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    top_frac = F.coalesce(F.col("top_c"), F.lit(0)) * F.lit(1.0) / F.greatest(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)
+    )
+    return uni.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (
+            (dup_frac > dup_token_frac_threshold)
+            | (top_frac > top_bigram_frac_threshold)
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )

@@ -1,0 +1,154 @@
+"""Curation operator tests with brute-force Python oracles.
+
+Covers the three dataset-curation extensions (operators/curation.py):
+benchmark decontamination, deterministic stratified sampling, and
+Gopher-style repetition filtering.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgcn_name_disambiguation_spark.operators.curation import (
+    contamination_flags,
+    repetition_features,
+    sample_cutoff_hex,
+    stratified_sample,
+)
+
+
+def _shingles(text, n):
+    w = " ".join(text.lower().split()).split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+BENCH = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _corpus(spark):
+    rows = [
+        # contains the full benchmark span -> fully contaminated
+        (0, BENCH),
+        # copied 5-token span from the benchmark inside fresh text
+        # (7 tokens -> 3 shingles, 1 hit -> ratio 1/3 >= 0.2)
+        (1, "then beta gamma delta epsilon zeta tail"),
+        # shares only a 4-token span: below n=5, must NOT flag
+        (2, "some filler gamma delta epsilon zeta filler closing words here"),
+        # clean
+        (3, "completely unrelated sentence about spark shuffles and joins"),
+        # too short for any 5-gram: zero shingles, never contaminated
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_contamination_matches_brute_force(spark):
+    docs = _corpus(spark)
+    ev = spark.createDataFrame([(100, BENCH)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in contamination_flags(docs, ev, n=5, ratio_threshold=0.2)
+        .collect()
+    }
+    ev_sh = _shingles(BENCH, 5)
+    for doc_id, text in docs.collect():
+        sh = _shingles(text, 5) if len(text.split()) >= 5 else set()
+        ov = len(sh & ev_sh)
+        r = got[doc_id]
+        assert r["n_shingles"] == len(sh)
+        assert r["overlap_shingles"] == ov
+        want_flag = int(len(sh) > 0 and ov / max(len(sh), 1) >= 0.2)
+        assert r["contaminated"] == want_flag
+    assert got[0]["contaminated"] == 1
+    assert got[1]["contaminated"] == 1
+    assert got[2]["contaminated"] == 0
+    assert got[3]["contaminated"] == 0
+    assert got[4]["contaminated"] == 0 and got[4]["n_shingles"] == 0
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    docs = _corpus(spark)
+    ev = docs.where(F.col("doc_id") == 0)
+    plan = contamination_flags(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_matches_hash_rule(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.5, "de": 0.2, "fr": 0.0}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, rates, seed=7).select("doc_id").collect()
+    }
+    expect = set()
+    for i, lang in rows:
+        hx = hashlib.md5(f"7:{i}".encode()).hexdigest()[:15]
+        if hx < sample_cutoff_hex(rates[lang]):
+            expect.add(i)
+    assert kept == expect
+    assert not any(i % 3 == 2 for i in kept)  # fr rate 0.0 -> empty
+    # approximate rate sanity on the en stratum (100 rows at 0.5)
+    n_en = sum(1 for i in kept if i % 3 == 0)
+    assert 30 <= n_en <= 70
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    rows = [(i, "en") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.2}, seed=7).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.6}, seed=7).collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(df, {"en": 0.2}, seed=7).collect()
+    }
+    assert small <= big  # nested samples across rates
+    assert small == again  # rerun-stable
+    # and a narrow plan: no shuffle anywhere
+    plan = (
+        stratified_sample(df, {"en": 0.2}, seed=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_repetition_features_brute_force(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),
+        # 15 unique tokens -> dup 0, top bigram 1/14 < 0.10
+        (1, "all words here are totally unique tokens friend every single "
+            "one distinct from previous neighbors"),
+        (2, "ab cd ab cd ab cd ab cd ef"),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        bigrams = [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        dup = 1.0 - len(set(toks)) / len(toks)
+        top = (
+            max(bigrams.count(b) for b in set(bigrams)) / len(bigrams)
+            if bigrams
+            else 0.0
+        )
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_token_frac"] == pytest.approx(dup, abs=1e-6)
+        assert r["top_bigram_frac"] == pytest.approx(top, abs=1e-6)
+        assert r["repetitive"] == int(dup > 0.65 or top > 0.10)
+    assert got[0]["repetitive"] == 1  # one token repeated throughout
+    assert got[1]["repetitive"] == 0
+    assert got[2]["repetitive"] == 1  # dominant bigram
+    assert got[3]["repetitive"] == 0 and got[3]["top_bigram_frac"] == 0.0
