@@ -136,10 +136,17 @@ def match_openalex_authors(
             "label", F.lit(0)
         )
 
-    w = Window.orderBy(F.desc("works_count"), F.asc("author_id"))
+    # Distributed top-k FIRST (orderBy+limit -> TakeOrderedAndProject:
+    # per-partition top-k, no single-partition shuffle of the full
+    # name-matched set — "john smith" matches thousands of authors in a
+    # full snapshot). The dense 0-based label rank then runs its global
+    # window over <= max_results rows only.
+    order = [F.desc("works_count"), F.asc("author_id")]
+    w = Window.orderBy(*order)
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= max_results)
+        cand.orderBy(*order)
+        .limit(max_results)
+        .withColumn("_rn", F.row_number().over(w))
         .select(
             "author_id",
             "author_name",
