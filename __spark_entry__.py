@@ -818,6 +818,30 @@ FROM generate_series(2, 47, 3) t(i), generate_series(0, 4999, 1000) g(f)
 """
 
 
+def q45_audio_windows(spark, sf):
+    """Audio window segmentation from payload size + sample rate under
+    the raw-PCM contract (16-bit mono): relational explode, JVM-side,
+    the audio sibling of q24's frame sampling. The per-window RMS/ZCR
+    feature kernel over the same windows is real numpy math
+    (multimodal.extract_audio_features, tested) — raw PCM needs no
+    codec."""
+    from hgcn_name_disambiguation_spark.operators.multimodal import (
+        segment_audio_windows,
+    )
+
+    media = fake_media_table(spark, n=48)
+    return segment_audio_windows(media, window_ms=1)
+
+
+# fake_media_table audio rows = ids 1,4,...,46; payload 128 bytes ->
+# 64 samples @16 kHz -> 4 ms -> win_start_ms 0..3 at window_ms=1.
+Q45_SQL = """
+SELECT printf('m%04d', CAST(i AS INT)) AS media_id,
+       CAST(w AS BIGINT) AS win_start_ms
+FROM generate_series(1, 46, 3) t(i), generate_series(0, 3, 1) g(w)
+"""
+
+
 def _docs_clustered(spark, sf, mod: int) -> DataFrame:
     """documents mapped onto the report operators' input shape with a
     deterministic synthetic clustering (doc_id % mod) so the exact
@@ -1870,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_contamination": q42_contamination,
         "q43_stratified_sample": q43_stratified_sample,
         "q44_repetition_filter": q44_repetition_filter,
+        "q45_audio_windows": q45_audio_windows,
     }
 
 
@@ -1922,4 +1947,5 @@ def oracle_sql() -> dict[str, str]:
         "q42_contamination": Q42_SQL,
         "q43_stratified_sample": _q43_sql(),
         "q44_repetition_filter": Q44_SQL,
+        "q45_audio_windows": Q45_SQL,
     }

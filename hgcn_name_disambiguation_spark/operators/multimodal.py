@@ -6,11 +6,14 @@ table streams through Python workers batch-by-batch without ever
 materializing a partition as one object.
 
 The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are STUBBED: `decode_image` raises
+so the IMAGE decode kernel is STUBBED: `decode_image` raises
 NotImplementedError unless `fake=True`, in which case a deterministic
 fake decoder (seeded from the content hash) produces stable
 "features" — the Spark-side plumbing (schema, batching, partitioning,
-UDF signatures) is real and tested either way.
+UDF signatures) is real and tested either way. The AUDIO path is NOT
+a stub: raw 16-bit PCM interpretation is pure arithmetic, so
+`extract_audio_features` computes real per-window RMS/zero-crossing
+features (compressed codecs would still need ffmpeg-class decoders).
 """
 
 from __future__ import annotations
@@ -106,6 +109,102 @@ def extract_image_features(
 
     cols = media.select("media_id", "payload")
     return cols.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("win_start_ms", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+    ]
+)
+
+
+def segment_audio_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """Audio window segmentation from metadata — pure relational.
+
+    One row per (media_id, win_start_ms) fixed-length window, duration
+    derived from the payload size under the raw-PCM contract
+    (16-bit mono: n_samples = length/2, duration_ms =
+    n_samples * 1000 / sample_rate). The explode mirrors
+    sample_video_frames: JVM-side sequence(), no Python, so a 100-TB
+    audio table segments in one narrow pass.
+    """
+    sr = F.coalesce(F.col("meta.sample_rate"), F.lit(16000))
+    n_samples = (F.length("payload") / 2).cast("long")
+    duration_ms = (n_samples * 1000 / sr).cast("long")
+    ts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(duration_ms - 1, F.lit(0).cast("long")),
+        F.lit(window_ms).cast("long"),
+    )
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", F.explode(ts).alias("win_start_ms"))
+    )
+
+
+def extract_audio_features(
+    media: DataFrame,
+    window_ms: int = 1000,
+    batch_limit: int = 1024,
+) -> DataFrame:
+    """Per-window RMS + zero-crossing rate over raw-PCM payloads.
+
+    Unlike the image path this is NOT a stub: interpreting a BINARY
+    payload as 16-bit little-endian mono PCM is pure arithmetic (no
+    codec), done vectorized in numpy per Arrow batch. Compressed
+    codecs (mp3/opus/...) would need ffmpeg-class decoders — not in
+    this container — and fail rows with ok=False in decode terms; the
+    synthetic tables carry raw PCM, so the whole path exercises real
+    math end-to-end. Same bounded-chunk batching discipline as
+    extract_image_features.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                out: dict[str, list] = {
+                    "media_id": [],
+                    "win_start_ms": [],
+                    "n_samples": [],
+                    "rms": [],
+                    "zcr": [],
+                }
+                for mid, payload, sr in zip(
+                    chunk["media_id"], chunk["payload"], chunk["sample_rate"]
+                ):
+                    sr = int(sr) if sr and sr > 0 else 16000
+                    buf = bytes(payload or b"")
+                    samples = np.frombuffer(
+                        buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                    ).astype(np.float64) / 32768.0
+                    win = max(1, int(round(sr * window_ms / 1000.0)))
+                    for w0 in range(0, len(samples), win):
+                        seg = samples[w0 : w0 + win]
+                        out["media_id"].append(mid)
+                        out["win_start_ms"].append(
+                            int(w0 * 1000 // sr)
+                        )
+                        out["n_samples"].append(len(seg))
+                        out["rms"].append(float(np.sqrt(np.mean(seg**2))))
+                        out["zcr"].append(
+                            float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+                            if len(seg) > 1
+                            else 0.0
+                        )
+                yield pd.DataFrame(out)
+
+    cols = media.where(F.col("kind") == "audio").select(
+        "media_id",
+        "payload",
+        F.coalesce(F.col("meta.sample_rate"), F.lit(16000)).alias("sample_rate"),
+    )
+    return cols.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(

@@ -75,47 +75,68 @@ def metapath_walks(
         sym = half if sym is None else sym.unionByName(half)
     # consumed walk_length * walks_per_node times — truncate the
     # edge-scoring subtree once instead of re-executing it per step
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=True)
 
-    out = None
-    for w in range(walks_per_node):
-        cur = pubs.select(
-            "block_key",
-            F.concat_ws("#", F.col("pub_id"), F.lit(str(w))).alias("walk_id"),
-            F.col("pub_id").alias("node"),
+    # ALL walk indices ride one frame (the walk index is a data
+    # column, not a DAG branch): walk_length joins total instead of
+    # walk_length * walks_per_node — each step joins 2x the rows
+    # through the same shuffle, which beats twice the stages at any
+    # scale. The step's relation channel depends on the walk index
+    # ((w + s) % len(metapath), the reference's rotating start), so
+    # the channel is resolved per ROW: equi-join on (block, node),
+    # then a CASE filter on the walk's channel flag for this step.
+    path_arr = F.array(*[F.lit(c) for c in metapath])
+    cur = pubs.crossJoin(
+        F.broadcast(
+            pubs.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("_w")
+            )
         )
-        frames = [cur.withColumn("step", F.lit(0))]
-        for s in range(walk_length):
-            flag = _CHANNEL_FLAG[metapath[(w + s) % len(metapath)]]
-            cand = cur.join(
-                sym.where(F.col(flag) > 0).select(
-                    F.col("block_key").alias("_bk"),
-                    "src",
-                    "dst",
-                ),
-                (cur["block_key"] == F.col("_bk"))
-                & (cur["node"] == F.col("src")),
-            ).select(
-                cur["block_key"],
-                "walk_id",
-                F.col("dst"),
-                _choice_key(
-                    F.col("walk_id"), s + 1, F.col("dst"), hash_mode, seed
-                ).alias("hkey"),
-            )
-            # each step frame is read twice (next hop + output union),
-            # but both reads land in ONE action, so Catalyst's
-            # ReuseExchange dedupes the step's shuffle — no O(L^2)
-            # recompute. Per-step localCheckpoint (8 separate jobs)
-            # measured 16.8s vs 10.5s for the single-DAG form at sf0.1.
-            cur = cand.groupBy("block_key", "walk_id").agg(
-                F.expr("min_by(dst, struct(hkey, dst))").alias("node")
-            )
-            frames.append(cur.withColumn("step", F.lit(s + 1)))
-        stepped = frames[0]
-        for f in frames[1:]:
-            stepped = stepped.unionByName(f)
-        out = stepped if out is None else out.unionByName(stepped)
+    ).select(
+        "block_key",
+        F.concat_ws("#", F.col("pub_id"), F.col("_w")).alias("walk_id"),
+        F.col("pub_id").alias("node"),
+        "_w",
+    )
+    flag_of = {c: F.col(f) for c, f in _CHANNEL_FLAG.items()}
+    frames = [cur.withColumn("step", F.lit(0))]
+    for s in range(walk_length):
+        ch = F.element_at(
+            path_arr, ((F.col("_w") + s) % len(metapath)) + 1
+        )
+        chan_ok = F.lit(False)
+        for c in dict.fromkeys(metapath):
+            chan_ok = F.when(ch == c, flag_of[c] > 0).otherwise(chan_ok)
+        cand = cur.join(
+            sym.select(
+                F.col("block_key").alias("_bk"),
+                "src",
+                "dst",
+                *[F.col(f) for f in set(_CHANNEL_FLAG.values())],
+            ),
+            (cur["block_key"] == F.col("_bk"))
+            & (cur["node"] == F.col("src")),
+        ).where(chan_ok).select(
+            cur["block_key"],
+            "walk_id",
+            "_w",
+            F.col("dst"),
+            _choice_key(
+                F.col("walk_id"), s + 1, F.col("dst"), hash_mode, seed
+            ).alias("hkey"),
+        )
+        # each step frame is read twice (next hop + output union), but
+        # both reads land in ONE action, so Catalyst's ReuseExchange
+        # dedupes the step's shuffle — no O(L^2) recompute. Per-step
+        # localCheckpoint (separate jobs per step) measured 1.6x
+        # SLOWER than this single-DAG form at sf0.1.
+        cur = cand.groupBy("block_key", "walk_id", "_w").agg(
+            F.expr("min_by(dst, struct(hkey, dst))").alias("node")
+        )
+        frames.append(cur.withColumn("step", F.lit(s + 1)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out.select("block_key", "walk_id", "step", "node")
 
 

@@ -113,6 +113,41 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == vids * 5  # 5000ms / 1000ms
 
 
+def test_audio_windows_and_features(spark):
+    import numpy as np
+
+    from hgcn_name_disambiguation_spark.operators.multimodal import (
+        extract_audio_features,
+        segment_audio_windows,
+    )
+
+    media = fake_media_table(spark, n=30)
+    n_audio = media.where(F.col("kind") == "audio").count()
+    # payload 128 bytes -> 64 int16 samples @ 16 kHz -> 4 ms -> 4
+    # windows at window_ms=1, aligned with the feature kernel below
+    wins = segment_audio_windows(media, window_ms=1).collect()
+    assert len(wins) == n_audio * 4
+    assert {w.win_start_ms for w in wins} == {0, 1, 2, 3}
+
+    feats = extract_audio_features(media, window_ms=1).collect()
+    assert len(feats) == n_audio * 4
+    by_key = {(r.media_id, r.win_start_ms): r for r in feats}
+    # hand-computed oracle on one clip: real PCM math, not a stub
+    payload = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where(F.col("kind") == "audio").collect()
+    }
+    mid, buf = next(iter(sorted(payload.items())))
+    samples = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+    for w0 in range(4):
+        seg = samples[w0 * 16 : (w0 + 1) * 16]  # 16 samples per ms
+        r = by_key[(mid, w0)]
+        assert r.n_samples == len(seg)
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(seg**2))))
+        zcr = float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+        assert r.zcr == pytest.approx(zcr)
+
+
 def test_venue_paper_counts(spark):
     """A10: regenerates the reference's confNum venue->count artifact
     shape; NULL venues (placeholder affiliations) are excluded."""
