@@ -1848,6 +1848,40 @@ FROM uni u LEFT JOIN bga b USING (doc_id)
 """
 
 
+def q46_sequence_packing(spark, sf):
+    """Concatenate-then-chunk sequence-packing offsets (GPT-style
+    training layout) via a distributed prefix sum: per-range token
+    sums -> driver prefix over <= num_ranges rows -> partition-local
+    window cumsum. The oracle is the equivalent single global window
+    cumsum (fine in DuckDB; the distributed form exists because that
+    global window is exactly what cannot run at 100 TB)."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=256)
+
+
+Q46_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           AS n_tokens
+  FROM documents),
+offs AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM toks)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS start_chunk,
+       CAST(FLOOR((start_offset + GREATEST(n_tokens, 1) - 1) / 256.0)
+            AS BIGINT) AS end_chunk
+FROM offs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1895,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_stratified_sample": q43_stratified_sample,
         "q44_repetition_filter": q44_repetition_filter,
         "q45_audio_windows": q45_audio_windows,
+        "q46_sequence_packing": q46_sequence_packing,
     }
 
 
@@ -1948,4 +1983,5 @@ def oracle_sql() -> dict[str, str]:
         "q43_stratified_sample": _q43_sql(),
         "q44_repetition_filter": Q44_SQL,
         "q45_audio_windows": Q45_SQL,
+        "q46_sequence_packing": Q46_SQL,
     }

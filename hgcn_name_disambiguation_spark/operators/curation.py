@@ -128,6 +128,72 @@ def stratified_sample(
     return df.where(hx < cutoff)
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence-packing offsets (GPT-style
+    training layout): documents are laid out in ``id_col`` order into
+    one virtual token stream cut into ``seq_len``-token chunks; a doc
+    may span a chunk boundary. Returns per doc: (doc_id, n_tokens,
+    start_offset, start_chunk, end_chunk).
+
+    The global running offset is a DISTRIBUTED PREFIX SUM — the naive
+    form (one unpartitioned window over the corpus) funnels 100 TB
+    through a single task. Instead: range-partition by id, aggregate
+    one token-sum row per partition (bounded by the partition count,
+    the only driver-side data), prefix those on the driver, broadcast
+    the per-partition base offsets back, and finish with a
+    partition-local window cumsum. Exact, deterministic, and every
+    stage is bounded: no task ever sees more than its own range.
+    """
+    toks = F.size(F.split(normalized_text(F.col(text_col)), " "))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("n_tokens"))
+    if num_ranges is None:
+        num_ranges = max(d.sparkSession.sparkContext.defaultParallelism, 2)
+    # materialize the ranged layout ONCE: the per-partition-sum job
+    # and the final cumsum job must see the identical partitioning
+    # (spark_partition_id is layout-dependent), and the checkpoint
+    # guarantees both actions read the same physical partitions.
+    d = (
+        d.repartitionByRange(num_ranges, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # RangePartitioner assigns ascending key ranges to ascending
+    # partition ids, so prefixing the per-partition sums in _pid order
+    # IS the global prefix. One bounded collect: <= num_ranges rows.
+    psums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(psums):
+        base[pid] = acc
+        acc += psums[pid]
+    base_expr = F.lit(0).cast("long")
+    for pid, off in base.items():
+        base_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(base_expr)
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    start = (
+        base_expr + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("long").alias("start_chunk"),
+        F.floor(
+            (start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / seq_len
+        )
+        .cast("long")
+        .alias("end_chunk"),
+    )
+
+
 def repetition_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -121,6 +121,44 @@ def test_stratified_sample_nested_and_deterministic(spark):
     assert "Exchange" not in plan
 
 
+def test_pack_sequences_prefix_sum(spark):
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["tok"] * (3 + (i * 7) % 11))) for i in range(97)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def brute():
+        out, off = {}, 0
+        for i, text in rows:
+            n = len(text.split())
+            out[i] = (n, off, off // 64, (off + n - 1) // 64)
+            off += n
+        return out
+
+    want = brute()
+    for ranges in (2, 7, 32):  # layout-invariance: same answer at any
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["start_offset"],
+                r["start_chunk"],
+                r["end_chunk"],
+            )
+            for r in pack_sequences(
+                df, seq_len=64, num_ranges=ranges
+            ).collect()
+        }
+        assert got == want
+    # chunk stream is gap-free: consecutive docs abut exactly
+    offs = sorted(v[1] for v in want.values())
+    lens = {v[1]: v[0] for v in want.values()}
+    assert all(
+        offs[i + 1] == offs[i] + lens[offs[i]] for i in range(len(offs) - 1)
+    )
+
+
 def test_repetition_features_brute_force(spark):
     rows = [
         (0, "spam spam spam spam spam spam"),
