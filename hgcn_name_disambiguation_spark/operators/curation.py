@@ -96,6 +96,11 @@ def sample_cutoff_hex(rate: float) -> str:
     numeric, and both Spark and DuckDB produce identical lowercase md5
     — the same cutoff literal drives both engines bit-identically."""
     rate = min(max(rate, 0.0), 1.0)
+    if rate >= 1.0:
+        # supremum sentinel: 'g' > every hex char, so every 15-hex
+        # md5 prefix compares below it — rate 1.0 keeps all rows
+        # (format(16**15) would be 16 chars and mis-compare).
+        return "g"
     return format(int(rate * (16**15)), "015x")
 
 

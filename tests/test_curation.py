@@ -111,6 +111,8 @@ def test_stratified_sample_nested_and_deterministic(spark):
     }
     assert small <= big  # nested samples across rates
     assert small == again  # rerun-stable
+    # rate 1.0 keeps everything (the 'g' supremum cutoff)
+    assert stratified_sample(df, {"en": 1.0}, seed=7).count() == 200
     # and a narrow plan: no shuffle anywhere
     plan = (
         stratified_sample(df, {"en": 0.2}, seed=7)
@@ -157,6 +159,53 @@ def test_pack_sequences_prefix_sum(spark):
     assert all(
         offs[i + 1] == offs[i] + lens[offs[i]] for i in range(len(offs) - 1)
     )
+
+
+def test_curate_funnel_end_to_end(spark):
+    """jobs/curate.py funnel: each stage removes exactly the docs
+    planted for it; the survivors come out packed."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "curate.py"),
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    base = " ".join(f"w{i}" for i in range(40))
+    base2 = " ".join(f"v{i}" for i in range(40))
+    clean = lambda s: " ".join(  # noqa: E731
+        f"{s}tok{i}" for i in range(20)
+    )
+    rows = [
+        (0, base, "en"),                       # keeper of exact-dup pair
+        (1, base, "en"),                       # exact dup -> dropped
+        (2, base2 + " tail", "en"),            # keeper of near-dup pair
+        (3, base2 + " tial", "en"),            # near dup -> dropped
+        (4, "x0 x1 " + BENCH + " x2", "en"),   # contaminated -> dropped
+        (5, " ".join(["spam"] * 20), "en"),    # repetitive -> dropped
+        (6, clean("a"), "en"),                 # survives
+        (7, clean("b"), "en"),                 # survives
+        (8, clean("c"), "de"),                 # sampled out (de rate 0)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame([(100, BENCH)], ["doc_id", "text"])
+
+    packed, funnel = curate_job.curate(
+        docs, ev, {"en": 1.0, "de": 0.0}, seq_len=16, ngram=3, jaccard=0.5
+    )
+    stages = dict(funnel)
+    assert stages["input"] == 9
+    assert stages["exact_dedup"] == 8        # -d1
+    assert stages["near_dedup"] == 7         # -d3
+    assert stages["decontaminate"] == 6      # -d4
+    assert stages["repetition_filter"] == 5  # -d5
+    assert stages["stratified_sample"] == 4  # -d8
+    assert stages["packed"] == 4
+    kept = {r["doc_id"] for r in packed.collect()}
+    assert kept == {0, 2, 6, 7}
 
 
 def test_repetition_features_brute_force(spark):
