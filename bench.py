@@ -49,9 +49,11 @@ BENCH_QUERIES = [
     "q38_feature_propagation",
     # round-3 semantic featurization (A3): per-component weighted agg
     "q41_semantic_docvecs",
-    # curation ops: broadcast decontamination + repetition signals
+    # curation ops: broadcast decontamination + repetition signals +
+    # distributed-prefix-sum sequence packing
     "q42_contamination",
     "q44_repetition_filter",
+    "q46_sequence_packing",
 ]
 
 
