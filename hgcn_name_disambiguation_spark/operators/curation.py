@@ -175,16 +175,22 @@ def pack_sequences(
         r["_pid"]: r["s"]
         for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
     }
-    base, acc = {}, 0
+    base, acc = [], 0
     for pid in sorted(psums):
-        base[pid] = acc
+        base.append((pid, acc))
         acc += psums[pid]
-    base_expr = F.lit(0).cast("long")
-    for pid, off in base.items():
-        base_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(base_expr)
+    # base offsets ride a broadcast join, NOT a CASE chain: at 10^5
+    # ranges a chained when() is a 10^5-deep expression tree (planner
+    # death), while a broadcast of num_ranges tiny rows is free.
+    base_df = d.sparkSession.createDataFrame(
+        base or [(0, 0)], "_pid int, _base long"
+    )
+    d = d.join(F.broadcast(base_df), "_pid", "left").withColumn(
+        "_base", F.coalesce("_base", F.lit(0))
+    )
     w = Window.partitionBy("_pid").orderBy("doc_id")
     start = (
-        base_expr + F.sum("n_tokens").over(w) - F.col("n_tokens")
+        F.col("_base") + F.sum("n_tokens").over(w) - F.col("n_tokens")
     ).cast("long")
     return d.select(
         "doc_id",

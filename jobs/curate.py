@@ -55,6 +55,7 @@ def curate(
     ngram: int,
     jaccard: float,
     seed: int = 42,
+    stratum_col: str = "lang",
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """The funnel as a composable function (jobs + tests share it).
 
@@ -72,6 +73,9 @@ def curate(
         minhash_lsh_pairs,
     )
 
+    # each stage's surviving frame is persisted (MEMORY_AND_DISK):
+    # the per-stage funnel counts and every downstream stage otherwise
+    # recompute the whole upstream funnel once per action.
     funnel: list[tuple[str, int]] = [("input", docs.count())]
 
     # 1. exact dedup: drop every member of a dup group except keeper
@@ -79,7 +83,7 @@ def curate(
     losers = exact.select(
         F.explode("member_ids").alias("doc_id"), "keeper_id"
     ).where(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
-    docs = docs.join(losers, "doc_id", "left_anti")
+    docs = docs.join(losers, "doc_id", "left_anti").persist()
     funnel.append(("exact_dedup", docs.count()))
 
     # 2. near-dedup: MinHash+LSH pairs -> CC groups -> keep min id
@@ -95,7 +99,7 @@ def curate(
         .where(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id")
     )
-    docs = docs.join(near_losers, "doc_id", "left_anti")
+    docs = docs.join(near_losers, "doc_id", "left_anti").persist()
     funnel.append(("near_dedup", docs.count()))
 
     # 3. decontamination against the eval set (skip when none given)
@@ -105,7 +109,7 @@ def curate(
             flags.where(F.col("contaminated") == 1).select("doc_id"),
             "doc_id",
             "left_anti",
-        )
+        ).persist()
         funnel.append(("decontaminate", docs.count()))
 
     # 4. repetition quality filter
@@ -114,12 +118,14 @@ def curate(
         rep.where(F.col("repetitive") == 1).select("doc_id"),
         "doc_id",
         "left_anti",
-    )
+    ).persist()
     funnel.append(("repetition_filter", docs.count()))
 
     # 5. stratified sampling (identity when no rates given)
     if rates:
-        docs = stratified_sample(docs, rates, seed=seed)
+        docs = stratified_sample(
+            docs, rates, stratum_col=stratum_col, seed=seed
+        )
         funnel.append(("stratified_sample", docs.count()))
 
     # 6. sequence packing over the survivors
@@ -156,7 +162,7 @@ def main(argv: list[str] | None = None) -> int:
 
     packed, funnel = curate(
         docs, eval_docs, rates, args.seq_len, args.ngram, args.jaccard,
-        seed=args.seed,
+        seed=args.seed, stratum_col=args.stratum_col,
     )
     packed.write.mode("overwrite").parquet(f"{args.output}/packed")
     spark.createDataFrame(
