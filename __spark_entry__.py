@@ -1848,6 +1848,46 @@ FROM uni u LEFT JOIN bga b USING (doc_id)
 """
 
 
+def q47_media_features_md5(spark, sf):
+    """Hash-checked twin of q23 (the md5-twin pattern of q31/q32):
+    the SAME mapInPandas feature-extraction machinery, with the fake
+    decode kernel seeded from md5(hex(payload)) instead of
+    sha256(payload). DuckDB cannot hash a BLOB — but hex(payload) of
+    the deterministic fixture equals upper(repeat(sha256_hex, 4)), so
+    the oracle reconstructs every byte of the feature vector in pure
+    SQL. Components pre-rounded to 6 dp in the kernel so the float32
+    schema round-trips the double-precision oracle value."""
+    media = fake_media_table(spark, n=48)
+    feats = extract_image_features(media, dim=16, hash_name="md5hex")
+    return feats.select(
+        "media_id", F.posexplode("feat").alias("pos", "v")
+    ).select(
+        "media_id",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).alias("val"),
+    )
+
+
+def _q47_sql() -> str:
+    hexmap = ", ".join(f"('{d}', {int(d, 16)})" for d in "0123456789abcdef")
+    return f"""
+WITH m AS (
+  SELECT CAST(i AS INT) AS i,
+         md5(upper(repeat(sha256(concat('42:', CAST(i AS VARCHAR))), 4)))
+           AS mh
+  FROM generate_series(0, 47, 1) t(i)),
+hexmap(ch, v) AS (VALUES {hexmap}),
+comps AS (
+  SELECT m.i, CAST(g.j AS INT) AS pos, (16 * h1.v + h2.v) AS byte
+  FROM m, generate_series(0, 15) g(j)
+  JOIN hexmap h1 ON h1.ch = substr(m.mh, 2 * CAST(g.j AS INT) + 1, 1)
+  JOIN hexmap h2 ON h2.ch = substr(m.mh, 2 * CAST(g.j AS INT) + 2, 1))
+SELECT printf('m%04d', i) AS media_id, pos,
+       ROUND(ROUND((byte / 255.0) * 2.0 - 1.0, 6), 6) AS val
+FROM comps
+"""
+
+
 def q46_sequence_packing(spark, sf):
     """Concatenate-then-chunk sequence-packing offsets (GPT-style
     training layout) via a distributed prefix sum: per-range token
@@ -1930,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_repetition_filter": q44_repetition_filter,
         "q45_audio_windows": q45_audio_windows,
         "q46_sequence_packing": q46_sequence_packing,
+        "q47_media_features_md5": q47_media_features_md5,
     }
 
 
@@ -1984,4 +2025,5 @@ def oracle_sql() -> dict[str, str]:
         "q44_repetition_filter": Q44_SQL,
         "q45_audio_windows": Q45_SQL,
         "q46_sequence_packing": Q46_SQL,
+        "q47_media_features_md5": _q47_sql(),
     }

@@ -54,18 +54,34 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_feature(payload: bytes, dim: int = 16) -> list[float]:
+def _fake_feature(
+    payload: bytes, dim: int = 16, hash_name: str = "sha256"
+) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder: dim floats
-    derived from sha256(payload) — stable across runs/partitions."""
-    h = hashlib.sha256(payload or b"").digest()
+    derived from a content hash — stable across runs/partitions.
+
+    ``hash_name='md5hex'`` hashes the UPPERCASE hex of the payload
+    instead (md5(hex(payload)) is expressible in DuckDB SQL, where
+    sha256-of-BLOB is not — the oracle twin q47 rides this), with
+    components pre-rounded to 6 dp so the float32 schema round-trips
+    the same 6-dp value the double-precision oracle computes."""
+    data = payload or b""
+    if hash_name == "md5hex":
+        h = hashlib.md5(data.hex().upper().encode()).digest()
+        return [
+            round((h[i % len(h)] / 255.0) * 2.0 - 1.0, 6) for i in range(dim)
+        ]
+    h = hashlib.sha256(data).digest()
     return [((h[i % 32] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+def decode_image(
+    payload: bytes, fake: bool = False, hash_name: str = "sha256"
+) -> list[float]:
     """STUB: real impl would be PIL.Image.open + resize + normalize.
     The image libraries are not available in this environment."""
     if fake:
-        return _fake_feature(payload)
+        return _fake_feature(payload, hash_name=hash_name)
     raise NotImplementedError(
         "image decoding requires PIL/opencv — not in this container; "
         "pass fake=True for deterministic plumbing tests"
@@ -73,7 +89,11 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
 
 
 def extract_image_features(
-    media: DataFrame, dim: int = 16, fake: bool = True, batch_limit: int = 1024
+    media: DataFrame,
+    dim: int = 16,
+    fake: bool = True,
+    batch_limit: int = 1024,
+    hash_name: str = "sha256",
 ) -> DataFrame:
     """mapInPandas feature extraction: BINARY payload -> ARRAY<FLOAT>.
 
@@ -91,7 +111,11 @@ def extract_image_features(
                 feats, oks, errs = [], [], []
                 for payload in chunk["payload"]:
                     try:
-                        feats.append(decode_image(payload, fake=fake)[:dim])
+                        feats.append(
+                            decode_image(
+                                payload, fake=fake, hash_name=hash_name
+                            )[:dim]
+                        )
                         oks.append(True)
                         errs.append(None)
                     except NotImplementedError as e:  # stub path
