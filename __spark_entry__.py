@@ -1848,6 +1848,64 @@ FROM uni u LEFT JOIN bga b USING (doc_id)
 """
 
 
+def q48_pii_redaction(spark, sf):
+    """C4-style scrubbing: every 5th doc is decorated with a
+    deterministic synthetic email/URL/long number (the corpus itself
+    is clean word soup), then redact_text masks them and counts
+    matches on the original. Pure narrow regexp transforms — zero
+    shuffle; the identical decoration runs in the oracle."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        redact_text,
+    )
+
+    d = _t(spark, sf, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ref 9990000000"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_text(decorated)
+
+
+def _q48_sql() -> str:
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        EMAIL_RE,
+        LONGNUM_RE,
+        URL_RE,
+    )
+
+    return f"""
+WITH decorated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' mail user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via https://ex.org/d/'
+                   || CAST(doc_id AS VARCHAR) || ' ref 9990000000'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{URL_RE}', '<URL>', 'g'),
+         '{LONGNUM_RE}', '<NUM>', 'g') AS text_redacted,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+       len(regexp_extract_all(text, '{LONGNUM_RE}')) AS n_longnums
+FROM decorated
+"""
+
+
 def q47_media_features_md5(spark, sf):
     """Hash-checked twin of q23 (the md5-twin pattern of q31/q32):
     the SAME mapInPandas feature-extraction machinery, with the fake
@@ -1971,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_audio_windows": q45_audio_windows,
         "q46_sequence_packing": q46_sequence_packing,
         "q47_media_features_md5": q47_media_features_md5,
+        "q48_pii_redaction": q48_pii_redaction,
     }
 
 
@@ -2026,4 +2085,5 @@ def oracle_sql() -> dict[str, str]:
         "q45_audio_windows": Q45_SQL,
         "q46_sequence_packing": Q46_SQL,
         "q47_media_features_md5": _q47_sql(),
+        "q48_pii_redaction": _q48_sql(),
     }

@@ -133,6 +133,36 @@ def stratified_sample(
     return df.where(hx < cutoff)
 
 
+# C4-style scrubbing patterns — deliberately simple character classes
+# that behave identically under Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+LONGNUM_RE = r"[0-9]{9,}"
+
+
+def redact_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII/URL scrubbing (the C4-style pre-training redaction pass):
+    emails -> <EMAIL>, URLs -> <URL>, 9+-digit runs -> <NUM>, with
+    per-doc match counts taken on the ORIGINAL text. Pure narrow
+    regexp transforms — zero shuffle, codegen'd JVM regex; the
+    replacement order (email, URL, number) is part of the contract
+    (an email never starts with http; a URL may contain digit runs
+    that must not be double-masked)."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, URL_RE, "<URL>")
+    red = F.regexp_replace(red, LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text_redacted"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).alias("n_longnums"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,

@@ -161,6 +161,35 @@ def test_pack_sequences_prefix_sum(spark):
     )
 
 
+def test_redact_text(spark):
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        redact_text,
+    )
+
+    rows = [
+        (0, "reach me at first.last+tag@sub.example.co.uk or "
+            "http://plain.org/x today"),
+        (1, "card 1234567890123456 and pin 123 stay; short 12345678 stays"),
+        (2, "see https://a.b/c?d=1&e=2 twice https://z.z/1"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_text(df).collect()}
+    assert got[0]["text_redacted"] == "reach me at <EMAIL> or <URL> today"
+    assert (got[0]["n_emails"], got[0]["n_urls"]) == (1, 1)
+    # 16-digit run masked; 3- and 8-digit runs kept (< 9 digits)
+    assert got[1]["text_redacted"] == (
+        "card <NUM> and pin 123 stay; short 12345678 stays"
+    )
+    assert got[1]["n_longnums"] == 1
+    assert got[2]["text_redacted"] == "see <URL> twice <URL>"
+    assert got[2]["n_urls"] == 2
+    assert got[3]["text_redacted"] == rows[3][1]
+    assert (got[3]["n_emails"], got[3]["n_urls"], got[3]["n_longnums"]) == (
+        0, 0, 0,
+    )
+
+
 def test_curate_funnel_end_to_end(spark):
     """jobs/curate.py funnel: each stage removes exactly the docs
     planted for it; the survivors come out packed."""
