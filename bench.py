@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q42_contamination",
     "q44_repetition_filter",
     "q46_sequence_packing",
+    "q48_pii_redaction",
 ]
 
 
