@@ -1478,9 +1478,11 @@ def q38_feature_propagation(spark, sf):
 
 
 def _q38_sql() -> str:
-    """Propagation oracle: per-channel symmetric+self-loop adjacency,
-    degree normalization 1/sqrt(d_u d_v), neighbor-feature join, fused
-    5/1/4 sum — all over the shared edges/wtoks CTEs."""
+    """Propagation oracle, exact cal_gcn_matrix (GCN.py:31-42)
+    semantics: per-channel symmetric adjacency, degree over REAL edges
+    only, 1/sqrt(d_u d_v) normalization, PLUS the unnormalized I term
+    (self-feature added after normalization), fused 5/1/4 — all over
+    the shared edges/wtoks CTEs."""
     total = 10.0
     chans = [("w_coauthor", 5.0), ("w_title", 1.0), ("w_venue", 4.0)]
     parts = [_ER_EDGES_CTE.rstrip()]
@@ -1492,9 +1494,7 @@ sym_{ch} AS (
   SELECT block_key, id_a AS src, id_b AS dst, {ch} AS w FROM edges
   WHERE {ch} > 0
   UNION ALL
-  SELECT block_key, id_b, id_a, {ch} FROM edges WHERE {ch} > 0
-  UNION ALL
-  SELECT block_key, pub_id, pub_id, 1.0 FROM pubs),
+  SELECT block_key, id_b, id_a, {ch} FROM edges WHERE {ch} > 0),
 deg_{ch} AS (
   SELECT block_key, src, SUM(w) AS d FROM sym_{ch} GROUP BY 1, 2)"""
         )
@@ -1504,7 +1504,10 @@ deg_{ch} AS (
 FROM sym_{ch} s
 JOIN deg_{ch} da ON da.block_key = s.block_key AND da.src = s.src
 JOIN deg_{ch} db ON db.block_key = s.block_key AND db.src = s.dst
-JOIN wtoks f ON f.block_key = s.block_key AND f.pub_id = s.dst"""
+JOIN wtoks f ON f.block_key = s.block_key AND f.pub_id = s.dst
+UNION ALL
+SELECT f.block_key, f.pub_id, f.tok AS token, f.idf * {fw / total} AS v
+FROM wtoks f"""
         )
     return (
         "".join(parts)
@@ -1752,10 +1755,11 @@ hits AS (
          SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS ov
   FROM sh s LEFT JOIN ev e USING (shingle) GROUP BY 1)
 SELECT d.doc_id,
-       COALESCE(h.ns, 0) AS n_shingles,
-       COALESCE(h.ov, 0) AS overlap_shingles,
-       ROUND(COALESCE(h.ov, 0) * 1.0
-             / GREATEST(COALESCE(h.ns, 0), 1), 6) AS contamination_ratio,
+       CAST(COALESCE(h.ns, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.ov, 0) AS BIGINT) AS overlap_shingles,
+       CAST(COALESCE(h.ov, 0) * 1000000
+            // GREATEST(COALESCE(h.ns, 0), 1) AS BIGINT)
+         AS contamination_micro,
        CASE WHEN COALESCE(h.ov, 0) * 1.0
                  / GREATEST(COALESCE(h.ns, 0), 1) >= 0.2
                  AND COALESCE(h.ov, 0) >= 1

@@ -51,10 +51,13 @@ def contamination_flags(
     eval/benchmark set (training-set decontamination).
 
     Returns one row per input doc: (doc_id, n_shingles,
-    overlap_shingles, contamination_ratio, contaminated) where
-    contamination_ratio = overlapping distinct shingles / doc's
-    distinct shingles and ``contaminated`` = ratio >= ratio_threshold
-    AND overlap >= min_hits (int 0/1 for cross-engine stability).
+    overlap_shingles, contamination_micro, contaminated) where
+    contamination_micro = floor(1e6 * overlapping distinct shingles /
+    doc's distinct shingles) — exact integer micro-units (integral
+    division, never a rounded DOUBLE: rounded doubles are not
+    hash-stable across engines) — and ``contaminated`` = ratio >=
+    ratio_threshold AND overlap >= min_hits (int 0/1 for cross-engine
+    stability).
 
     The eval shingle set is broadcast — decontamination's defining
     asymmetry is a tiny benchmark side vs an arbitrarily large corpus
@@ -79,14 +82,33 @@ def contamination_flags(
     ns = F.coalesce(F.col("n_shingles"), F.lit(0))
     ov = F.coalesce(F.col("overlap_shingles"), F.lit(0))
     ratio = ov * F.lit(1.0) / F.greatest(ns, F.lit(1))
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        ns.alias("n_shingles"),
-        ov.alias("overlap_shingles"),
-        F.round(ratio, 6).alias("contamination_ratio"),
-        ((ratio >= ratio_threshold) & (ov >= min_hits))
-        .cast("int")
-        .alias("contaminated"),
+    # exact integer micro-units: non-negative long `div` long is pure
+    # integral division, so Spark's `div` and DuckDB's `//` agree
+    # bit-for-bit (a rounded DOUBLE here is not hash-stable across
+    # engines — the one red driver cell of round 3).
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            ns.cast("long").alias("n_shingles"),
+            ov.cast("long").alias("overlap_shingles"),
+            ((ratio >= ratio_threshold) & (ov >= min_hits))
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .withColumn(
+            "contamination_micro",
+            F.expr(
+                "overlap_shingles * 1000000L div greatest(n_shingles, 1L)"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "overlap_shingles",
+            "contamination_micro",
+            "contaminated",
+        )
     )
 
 

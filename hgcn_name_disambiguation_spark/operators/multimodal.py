@@ -208,12 +208,15 @@ def extract_audio_features(
                         buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
                     ).astype(np.float64) / 32768.0
                     win = max(1, int(round(sr * window_ms / 1000.0)))
-                    for w0 in range(0, len(samples), win):
+                    # window start = index * window_ms (NOT w0*1000//sr,
+                    # which can floor successive windows to the same ms
+                    # for sub-ms windows / non-divisible rates): keeps
+                    # (media_id, win_start_ms) unique and agrees with
+                    # segment_audio_windows' exact window_ms stepping.
+                    for wi, w0 in enumerate(range(0, len(samples), win)):
                         seg = samples[w0 : w0 + win]
                         out["media_id"].append(mid)
-                        out["win_start_ms"].append(
-                            int(w0 * 1000 // sr)
-                        )
+                        out["win_start_ms"].append(int(wi * window_ms))
                         out["n_samples"].append(len(seg))
                         out["rms"].append(float(np.sqrt(np.mean(seg**2))))
                         out["zcr"].append(

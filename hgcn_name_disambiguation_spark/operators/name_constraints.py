@@ -120,8 +120,11 @@ def focal_signatures(pubs: DataFrame) -> DataFrame:
             .otherwise(0),
         )
     )
+    # among equal-priority candidates prefer the LONGEST signature
+    # (more given-name tokens = stronger cannot-link evidence), then
+    # the lexicographically first for determinism.
     w = Window.partitionBy("block_key", "pub_id").orderBy(
-        F.desc("_pri"), F.size("sig").asc(), F.asc("_g1")
+        F.desc("_pri"), F.size("sig").desc(), F.asc("_g1")
     )
     best = (
         exploded.withColumn("_rn", F.row_number().over(w))

@@ -8,7 +8,12 @@ propagation of the node features, fused 5/1/4 across relations
 (``GCN.py:124``):
 
     out = (5 * norm(GA) @ X + 1 * norm(GT) @ X + 4 * norm(GV) @ X) / 10
-    norm(G) = D^-1/2 (A + I) D^-1/2,  D = rowsum(A + I)
+    norm(G) = I + D^-1/2 A D^-1/2,  D = rowsum(A)
+
+(exact ``cal_gcn_matrix`` parity, ``GCN.py:31-42``: the unit self-loop
+is added AFTER normalization and the degree excludes self-loops;
+0-degree rows map to 0, i.e. isolated nodes keep exactly their own
+features through the I term)
 
 This operator is that effective computation, distributed, over SPARSE
 features (token -> weight maps, e.g. the per-block IDF title vectors
@@ -16,9 +21,10 @@ that replace the reference's word2vec means — SURVEY S7/A3). Dense
 n x d per-block matrices are the reference's laptop ceiling; sparse
 triplet frames keep every step a hash join/agg:
 
-- per channel: symmetric weighted edges + unit self-loops,
-  degree agg, 1/sqrt(d_u d_v) edge normalization (two broadcast-able
-  dim joins against the degree frame),
+- per channel: symmetric weighted edges, degree agg (real edges
+  only), 1/sqrt(d_u d_v) edge normalization (two broadcast-able dim
+  joins against the degree frame), then the UNNORMALIZED unit
+  self-loop rows unioned in (the reference's I term),
 - propagate: join normalized edges with neighbor feature triplets,
   sum per (block, node, token) — map-side combinable,
 - fuse: weighted union across channels, one final agg.
@@ -76,13 +82,11 @@ def feature_propagation(
                 F.col(ch).alias("w"),
             )
             sym = half if sym is None else sym.unionByName(half)
-        loops = pubs.select(
-            "block_key",
-            F.col("pub_id").alias("src"),
-            F.col("pub_id").alias("dst"),
-            F.lit(1.0).alias("w"),
-        )
-        sym = sym.unionByName(loops)
+        # degrees over REAL edges only (reference: D = rowsum(A)); the
+        # inner joins are safe — every edge endpoint has d >= w > 0,
+        # and 0-degree nodes have no edge rows at all (they enter only
+        # through the unnormalized I term below, exactly cal_gcn_matrix's
+        # D_[inf] = 0 handling).
         deg = sym.groupBy("block_key", "src").agg(F.sum("w").alias("d"))
         normed = (
             sym.join(deg, ["block_key", "src"])
@@ -103,6 +107,14 @@ def feature_propagation(
                 ),
             )
         )
+        # the I term: unit self-contribution added AFTER normalization
+        loops = pubs.select(
+            "block_key",
+            F.col("pub_id").alias("src"),
+            F.col("pub_id").alias("dst"),
+            F.lit(1.0).alias("nw"),
+        )
+        normed = normed.unionByName(loops)
         contrib = normed.join(
             feats,
             (F.col("block_key") == F.col("_fbk"))

@@ -86,10 +86,14 @@ def curate(
     docs = docs.join(losers, "doc_id", "left_anti").persist()
     funnel.append(("exact_dedup", docs.count()))
 
-    # 2. near-dedup: MinHash+LSH pairs -> CC groups -> keep min id
+    # 2. near-dedup: MinHash+LSH pairs -> CC groups -> keep min id.
+    # dedup_clusters emits string ids; cast back to the input frame's
+    # native doc_id type (a blind cast-to-long silently nulls every id
+    # for string-keyed corpora and turns this stage into a no-op).
+    doc_id_type = dict(docs.dtypes)["doc_id"]
     pairs = minhash_lsh_pairs(docs, n=ngram, threshold=jaccard)
     groups = dedup_clusters(pairs.select("id_a", "id_b")).withColumn(
-        "doc_id", F.col("doc_id").cast("long")
+        "doc_id", F.col("doc_id").cast(doc_id_type)
     )
     keepers = groups.groupBy("group_id").agg(
         F.min("doc_id").alias("keeper_id")

@@ -58,6 +58,7 @@ def test_contamination_matches_brute_force(spark):
         r = got[doc_id]
         assert r["n_shingles"] == len(sh)
         assert r["overlap_shingles"] == ov
+        assert r["contamination_micro"] == ov * 1_000_000 // max(len(sh), 1)
         want_flag = int(len(sh) > 0 and ov / max(len(sh), 1) >= 0.2)
         assert r["contaminated"] == want_flag
     assert got[0]["contaminated"] == 1
@@ -235,6 +236,36 @@ def test_curate_funnel_end_to_end(spark):
     assert stages["packed"] == 4
     kept = {r["doc_id"] for r in packed.collect()}
     assert kept == {0, 2, 6, 7}
+
+
+def test_curate_near_dedup_with_string_doc_ids(spark):
+    """Regression: the near-dedup stage must work for non-numeric
+    string doc_ids (a blind cast-to-long nulls every id and silently
+    turns the stage into a no-op)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job_s",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "curate.py"),
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    base = " ".join(f"v{i}" for i in range(40))
+    rows = [
+        ("doc/a", base + " tail", "en"),   # keeper (min string id)
+        ("doc/b", base + " tial", "en"),   # near dup -> dropped
+        ("doc/c", " ".join(f"u{i}" for i in range(30)), "en"),  # survives
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    packed, funnel = curate_job.curate(
+        docs, None, None, seq_len=16, ngram=3, jaccard=0.5
+    )
+    stages = dict(funnel)
+    assert stages["near_dedup"] == 2
+    kept = {r["doc_id"] for r in packed.collect()}
+    assert kept == {"doc/a", "doc/c"}
 
 
 def test_repetition_features_brute_force(spark):

@@ -61,6 +61,27 @@ def test_focal_signature_extraction(spark):
     assert got["p4"] is None
 
 
+def test_focal_signature_same_priority_prefers_longer(spark):
+    """Among equal-priority candidates the LONGEST signature wins —
+    middle tokens strengthen the cannot-link constraint; the shorter
+    one would discard them."""
+    pubs = _pubs(
+        spark,
+        [
+            # both exact first-name matches (pri 2): longer sig wins
+            ("john smith", "p1", ["John Smith", "John A. B. Smith"]),
+            # both pri 0 (different first): longer, then lexicographic
+            ("john smith", "p2", ["Kenneth Smith", "Kenneth A. Smith"]),
+            # equal length + equal pri -> lexicographically first _g1
+            ("john smith", "p3", ["Walter B. Smith", "Kenneth A. Smith"]),
+        ],
+    )
+    got = {r.pub_id: r.sig for r in focal_signatures(pubs).collect()}
+    assert got["p1"] == ["john", "a", "b"]
+    assert got["p2"] == ["kenneth", "a"]
+    assert got["p3"] == ["kenneth", "a"]
+
+
 def test_signature_seeds_maximality(spark):
     pubs = _pubs(
         spark,

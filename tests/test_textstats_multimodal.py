@@ -148,6 +148,35 @@ def test_audio_windows_and_features(spark):
         assert r.zcr == pytest.approx(zcr)
 
 
+def test_audio_feature_key_unique_for_nondivisible_rates(spark):
+    """Regression: at sr=2500/window_ms=1 the old start formula
+    (w0*1000//sr) floored windows 0 and 1 both to 0 ms; starts must be
+    window_index*window_ms — unique and agreeing with
+    segment_audio_windows' stepping."""
+    from hgcn_name_disambiguation_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    # 10 int16 samples @ 2500 Hz; window_ms=1 -> win=2 samples -> 5 windows
+    payload = bytes(range(20))
+    media = spark.createDataFrame(
+        [{
+            "media_id": "m1",
+            "kind": "audio",
+            "payload": payload,
+            "meta": {
+                "width": None, "height": None, "sample_rate": 2500,
+                "duration_ms": None, "codec": "pcm",
+            },
+        }],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_audio_features(media, window_ms=1).collect()
+    starts = [r.win_start_ms for r in feats]
+    assert sorted(starts) == [0, 1, 2, 3, 4]
+
+
 def test_venue_paper_counts(spark):
     """A10: regenerates the reference's confNum venue->count artifact
     shape; NULL venues (placeholder affiliations) are excluded."""
