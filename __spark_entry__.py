@@ -952,18 +952,47 @@ WHERE NOT EXISTS (SELECT 1 FROM assigned s
 
 
 def q28_ghac_parity(spark, sf):
-    """G8/G9 parity annex (rows-only: iterative HAC + modularity
-    search are not SQL-expressible): per-block average-linkage HAC with
-    modularity k-search on a small document subset."""
+    """G8/G9 parity annex: per-block average-linkage HAC with
+    modularity k-search on a small document subset. Iterative HAC is
+    not SQL-expressible, so the oracle (Q28_GOLDEN_SQL) is a GOLDEN
+    literal: the md5 of each block's sorted cluster-membership sets,
+    pinned from a verified run — any change to linkage, k-search, or
+    tie-breaking hash-mismatches. clusters_md5 is label-invariant
+    (clusters are canonicalized as sorted member lists, sorted)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") % 20 == 0)
     pubs = _docs_as_pubs(docs)
     cfg = PipelineConfig(max_token_df_per_block=40)
     scored = fuse_scores(combined_edges(pubs, cfg), cfg)
     out = ghac_clusters(pubs, scored, cfg, k_from_labels=False)
-    return out.groupBy("block_key", "method").agg(
-        F.count(F.lit(1)).alias("n_pubs"),
-        F.countDistinct("hac_cluster").alias("n_clusters"),
+    members = out.groupBy("block_key", "method", "hac_cluster").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list("pub_id"))
+        ).alias("cstr")
     )
+    return members.groupBy("block_key", "method").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.collect_list("cstr")))
+        ).alias("clusters_md5"),
+    )
+
+
+# Golden values pinned from a verified sf0.01 run (the driver's
+# correctness scale by contract; fixture-level membership is asserted
+# in test_parity_ghac). Regenerate CONSCIOUSLY if linkage/k-search/
+# tie-break semantics change — a silent drift here is the bug this
+# golden exists to catch.
+Q28_GOLDEN_SQL = """
+SELECT block_key, method, CAST(n_clusters AS BIGINT) AS n_clusters,
+       clusters_md5
+FROM (VALUES
+  ('de', 'modularity-search', 2, '18eb0adaab87ea8febc0ea38a3a656cd'),
+  ('en', 'modularity-search', 2, 'f63acccf4ecb59164e3562b0291d65ff'),
+  ('es', 'modularity-search', 2, 'd55ea4652f0883b0a108d752c3fc5529'),
+  ('fr', 'modularity-search', 2, '51e4c98fe5cd63bf46a52e504e3b6bb6'),
+  ('zh', 'modularity-search', 2, '62fa98d3fe83f75ba8ca9b355894c88b')
+) AS t(block_key, method, n_clusters, clusters_md5)
+"""
 
 
 # Shared CTE chain replicating the ER edge builders (J1-J3 + T1) over
@@ -1339,14 +1368,30 @@ def q36_metapath_walks(spark, sf):
     )
 
 
-def _q36_sql() -> str:
-    """Walk oracle: unroll the per-walk, per-step argmin-hash hop as
-    window CTEs over the same edges CTE the Spark side consumes."""
-    metapath, walk_length, walks, seed = ("A", "V"), 4, 2, 42
+def _hex6_to_int_sql(h: str) -> str:
+    """DuckDB arithmetic for int(substr(<lowercase hex>, 1, 6), 16) —
+    per-char strpos decode, no engine-specific hex casts."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _walk_cte_parts(
+    metapath=("A", "V"), walk_length=4, walks=2, seed=42
+) -> str:
+    """CTE fragment (appended after _ER_EDGES_CTE) that unrolls the
+    per-walk, per-step WEIGHT-PROPORTIONAL hop (hash-uniform threshold
+    into the dst-ordered cumulative weight sum — walks._step_uniform
+    semantics) and ends with a ``walkcorpus`` CTE of (block_key,
+    walk_id, step, node). Pure +/*/compare on doubles in a fixed
+    order, so both engines agree bit-for-bit. Shared by the q36 and
+    q49 oracles."""
     flag = {"A": "w_coauthor", "V": "w_venue", "T": "w_title"}
     parts = [
-        _ER_EDGES_CTE.rstrip()
-        + """,
+        """,
 sym AS (
   SELECT block_key, id_a AS src, id_b AS dst, w_coauthor, w_title,
          w_venue FROM edges
@@ -1365,25 +1410,47 @@ w{w}s0 AS (
         finals.append(f"SELECT block_key, walk_id, 0 AS step, node FROM w{w}s0")
         for s in range(walk_length):
             ch = flag[metapath[(w + s) % len(metapath)]]
+            u_expr = (
+                _hex6_to_int_sql(
+                    f"md5('{seed}:' || c.walk_id || ':{s + 1}')"
+                )
+                + " / 16777216.0"
+            )
             parts.append(
                 f""",
 w{w}s{s + 1} AS (
-  SELECT block_key, walk_id, node FROM (
-    SELECT c.block_key, c.walk_id, y.dst AS node,
-           ROW_NUMBER() OVER (
-             PARTITION BY c.block_key, c.walk_id
-             ORDER BY md5('{seed}:' || c.walk_id || ':{s + 1}:' || y.dst),
-                      y.dst) AS rn
-    FROM w{w}s{s} c
-    JOIN sym y ON y.block_key = c.block_key AND y.src = c.node
-    WHERE y.{ch} > 0)
-  WHERE rn = 1)"""
+  SELECT block_key, walk_id, MIN(node) AS node FROM (
+    SELECT block_key, walk_id, node, cum, u,
+           MAX(cum) OVER (PARTITION BY block_key, walk_id) AS tot
+    FROM (
+      SELECT c.block_key, c.walk_id, y.dst AS node,
+             SUM(y.{ch}) OVER (
+               PARTITION BY c.block_key, c.walk_id ORDER BY y.dst) AS cum,
+             {u_expr} AS u
+      FROM w{w}s{s} c
+      JOIN sym y ON y.block_key = c.block_key AND y.src = c.node
+      WHERE y.{ch} > 0))
+  WHERE cum > u * tot
+  GROUP BY 1, 2)"""
             )
             finals.append(
                 f"SELECT block_key, walk_id, {s + 1} AS step, node "
                 f"FROM w{w}s{s + 1}"
             )
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    parts.append(
+        ",\nwalkcorpus AS (\n"
+        + "\nUNION ALL\n".join(finals)
+        + ")"
+    )
+    return "".join(parts)
+
+
+def _q36_sql() -> str:
+    return (
+        _ER_EDGES_CTE.rstrip()
+        + _walk_cte_parts()
+        + "\nSELECT block_key, walk_id, step, node FROM walkcorpus"
+    )
 
 
 def q37_bfs_negative_weights(spark, sf):
@@ -1984,6 +2051,133 @@ FROM offs
 """
 
 
+def q49_walk_training_pairs(spark, sf):
+    """G3 oracle-checked: the reference's skip-gram training triples
+    (name_disambiguation.py:1064-1127) — window-1/2 positives over the
+    realized walk corpus + 3 distance-proportional negatives per
+    positive drawn from the G2 BFS frame, all deterministic md5-mode
+    so DuckDB replicates every draw (operators/walks.py
+    walk_training_pairs). Same graph/constants as q36/q37."""
+    from hgcn_name_disambiguation_spark.operators.walks import (
+        bfs_negative_weights,
+        metapath_walks,
+        walk_training_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg)
+    walks = metapath_walks(
+        pubs, edges, metapath=("A", "V"), walk_length=4,
+        walks_per_node=2, hash_mode="md5",
+    )
+    neg = bfs_negative_weights(edges, max_hops=2)
+    return walk_training_pairs(
+        walks, neg, walk_length=4, negatives_per_pos=3, hash_mode="md5"
+    )
+
+
+def _q49_sql(walk_length: int = 4, max_hops: int = 2, seed: int = 42) -> str:
+    """Training-pair oracle: walk CTEs (shared with q36) + BFS distance
+    CTEs (q37 semantics, renamed b_*) + window self-join positives +
+    the deterministic cumulative negative draw."""
+    # BFS distance CTEs, renamed to coexist with the walk CTEs
+    bfs = [
+        """,
+bsym AS (
+  SELECT DISTINCT block_key, src, dst FROM (
+    SELECT block_key, id_a AS src, id_b AS dst FROM edges
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0
+    UNION ALL
+    SELECT block_key, id_b, id_a FROM edges
+    WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0)),
+b_r1 AS (SELECT block_key, src, dst FROM bsym)"""
+    ]
+    for k in range(2, max_hops + 1):
+        bfs.append(
+            f""",
+b_r{k} AS (
+  SELECT DISTINCT block_key, src, dst FROM (
+    SELECT block_key, src, dst FROM b_r{k - 1}
+    UNION ALL
+    SELECT a.block_key, a.src, b.dst
+    FROM b_r{k - 1} a
+    JOIN bsym b ON a.block_key = b.block_key AND a.dst = b.src)
+  WHERE src <> dst)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT block_key, src, dst, {k} AS k FROM b_r{k}"
+        for k in range(1, max_hops + 1)
+    )
+    bfs.append(
+        f""",
+negw AS (
+  SELECT block_key, src, dst, CAST(MIN(k) AS DOUBLE) AS neg_weight
+  FROM ({unions})
+  GROUP BY 1, 2, 3
+  HAVING MIN(k) >= 2)"""
+    )
+    u_expr = (
+        _hex6_to_int_sql(
+            f"md5('{seed}:' || walk_id || ':' || CAST(step AS VARCHAR)"
+            " || ':' || CAST(win AS VARCHAR)"
+            " || ':' || CAST(k AS VARCHAR) || ':0')"
+        )
+        + " / 16777216.0"
+    )
+    return (
+        _ER_EDGES_CTE.rstrip()
+        + _walk_cte_parts(walk_length=walk_length, seed=seed)
+        + "".join(bfs)
+        + f""",
+positives AS (
+  SELECT a.block_key, a.walk_id, a.step, d.win,
+         a.node AS u_i, b.node AS u_j
+  FROM walkcorpus a
+  JOIN (SELECT 1 AS win UNION ALL SELECT 2) d ON TRUE
+  JOIN walkcorpus b
+    ON b.block_key = a.block_key AND b.walk_id = a.walk_id
+   AND b.step = a.step + d.win),
+stuck AS (
+  SELECT w.block_key, w.walk_id, w.step, 0 AS win, w.node AS u_i
+  FROM walkcorpus w
+  LEFT JOIN walkcorpus n
+    ON n.block_key = w.block_key AND n.walk_id = w.walk_id
+   AND n.step = w.step + 1
+  WHERE n.node IS NULL AND w.step < {walk_length}),
+anchors AS (
+  SELECT block_key, walk_id, step, win, u_i FROM positives
+  UNION ALL
+  SELECT block_key, walk_id, step, win, u_i FROM stuck),
+draws AS (
+  SELECT a.*, kk.k, {u_expr} AS u
+  FROM anchors a
+  JOIN (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2) kk ON TRUE),
+negcum AS (
+  SELECT block_key, src, dst, cum,
+         MAX(cum) OVER (PARTITION BY block_key, src) AS tot
+  FROM (
+    SELECT block_key, src, dst,
+           SUM(neg_weight) OVER (
+             PARTITION BY block_key, src ORDER BY dst) AS cum
+    FROM negw)),
+negs AS (
+  SELECT d.block_key, d.walk_id, d.step, d.win, d.k, d.u_i,
+         MIN(c.dst) AS u_j
+  FROM draws d
+  JOIN negcum c ON c.block_key = d.block_key AND c.src = d.u_i
+  WHERE c.cum > d.u * c.tot
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT block_key, walk_id, step, win, 0 AS k, u_i, u_j, 1 AS label
+FROM positives
+UNION ALL
+SELECT block_key, walk_id, step, win, k, u_i, u_j, -1 AS label
+FROM negs
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2034,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_sequence_packing": q46_sequence_packing,
         "q47_media_features_md5": q47_media_features_md5,
         "q48_pii_redaction": q48_pii_redaction,
+        "q49_walk_training_pairs": q49_walk_training_pairs,
     }
 
 
@@ -2058,10 +2253,12 @@ def oracle_sql() -> dict[str, str]:
         "q17_er_metrics": Q17_SQL,
         # Rows-only: q19/q20 (xxhash64 production paths — their md5
         # twins q31/q32 ARE hash-checked), q23 (sha256-of-BLOB —
-        # DuckDB's sha256 is VARCHAR-only), q28 (iterative HAC +
-        # modularity search). The CC RESULT (q18) is closure-checked
-        # recursively; everything else replicates in DuckDB exactly.
+        # DuckDB's sha256 is VARCHAR-only). The CC RESULT (q18) is
+        # closure-checked recursively; q28 (iterative HAC) checks
+        # against a pinned golden-membership-hash literal; everything
+        # else replicates in DuckDB exactly.
         "q18_er_clusters": Q18_SQL,
+        "q28_ghac_parity": Q28_GOLDEN_SQL,
         "q21_knn_lsh": Q21_SQL,
         "q22_knn_ivf": Q22_SQL,
         "q24_video_frames": Q24_SQL,
@@ -2090,4 +2287,5 @@ def oracle_sql() -> dict[str, str]:
         "q46_sequence_packing": Q46_SQL,
         "q47_media_features_md5": _q47_sql(),
         "q48_pii_redaction": _q48_sql(),
+        "q49_walk_training_pairs": _q49_sql(),
     }

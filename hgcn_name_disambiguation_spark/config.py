@@ -233,6 +233,11 @@ class PipelineConfig:
     w2v_min_count: int = 2        # vocab bound = the fit's memory bound
     w2v_seed: int = 421
     w2v_num_partitions: int = 1   # 1 = deterministic fit; raise at scale
+    # fraction of sentences the FIT sees (deterministic hash sample;
+    # 1.0 = all). At 10^12-doc scale the fit needs co-occurrence
+    # coverage, not every document — document_vectors still covers
+    # every doc regardless of this knob.
+    w2v_sample_fraction: float = 1.0
 
     # --- misc ---
     stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)

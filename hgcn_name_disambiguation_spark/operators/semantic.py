@@ -78,10 +78,25 @@ def train_word_vectors(
     scale raise the partition count and accept run-to-run vector
     variance — the downstream channel is threshold-gated, measured
     stable across seeds 0.863-0.870 archived-100 F1).
+
+    ``w2v_sample_fraction < 1`` is the 100-TB path: the FIT consumes a
+    deterministic hash-sample of the sentences (xxhash64(pub_id, seed)
+    — reproducible across reruns/executor counts, unlike
+    ``DataFrame.sample``'s partition-dependent RNG), while
+    ``document_vectors`` still featurizes EVERY document. Embeddings
+    need token co-occurrence coverage, not every sentence.
     """
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
 
+    sents = training_sentences(pubs, config)
+    frac = min(max(config.w2v_sample_fraction, 0.0), 1.0)
+    if frac < 1.0:
+        bound = int(frac * (2 ** 63 - 1))
+        sents = sents.where(
+            F.abs(F.xxhash64(F.col("pub_id"), F.lit(config.w2v_seed)))
+            <= F.lit(bound)
+        )
     model = Word2Vec(
         vectorSize=config.w2v_dim,
         windowSize=config.w2v_window,
@@ -91,7 +106,7 @@ def train_word_vectors(
         seed=config.w2v_seed,
         inputCol="sent",
         outputCol="_vec",
-    ).fit(training_sentences(pubs, config))
+    ).fit(sents)
     return model.getVectors().select(
         "word", vector_to_array(F.col("vector"), "float64").alias("vector")
     )

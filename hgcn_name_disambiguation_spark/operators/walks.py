@@ -16,13 +16,18 @@ Spark-first reformulation:
   combinable, no windows, no Python). ``walk_length`` shuffles total,
   independent of corpus size — the iterative-join shape that survives
   a 100x scale-up.
-- DETERMINISTIC next-hop: the reference's per-process RNG is not
+- DETERMINISTIC WEIGHT-PROPORTIONAL next-hop: the reference draws the
+  next node weight-proportionally from per-node alias tables
+  (``name_disambiguation.py:996-1058``); a per-process RNG is not
   reproducible across partitions/retries, so the distributed variant
-  picks ``argmin_{nbr} hash(seed, walk_id, step, nbr)`` — per-step
-  uniform over the neighbor set (an unweighted DeepWalk-style step;
-  the reference's alias tables add weight-proportional sampling, a
-  documented delta), stable under any partitioning, retries, and AQE
-  re-planning, and exactly replicable in SQL (the q36 DuckDB oracle).
+  replaces the alias draw with a cumulative-threshold draw — per
+  (walk, step) a hash-derived uniform u = hex6(md5(seed:walk:step)) /
+  16^6 picks the first neighbor in dst order whose running weight sum
+  crosses u * total. Same distribution as the alias table (P(nbr) =
+  w_nbr / sum w), stable under any partitioning, retries, and AQE
+  re-planning, and exactly replicable in SQL (the q36 DuckDB oracle):
+  the draw uses only IEEE +, *, and comparisons in a fixed order — no
+  transcendentals whose last-ulp could differ across engines.
 - Dead ends: a walk with no neighbor in the current relation stops
   (emits no further rows); the reference instead emits negative
   samples and keeps cycling — negatives are a training-time concern
@@ -34,16 +39,25 @@ Spark-first reformulation:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _CHANNEL_FLAG = {"A": "w_coauthor", "T": "w_title", "V": "w_venue"}
 
+_U_DENOM = 16 ** 6  # 24-bit uniform granularity; max u = 1 - 2^-24
 
-def _choice_key(walk_id, step: int, nbr, hash_mode: str, seed: int):
-    s = F.concat_ws(
-        ":", F.lit(str(seed)), walk_id, F.lit(str(step)), nbr
-    )
-    return F.md5(s) if hash_mode == "md5" else F.xxhash64(s)
+
+def _step_uniform(walk_id, step: int, hash_mode: str, seed: int):
+    """Deterministic uniform in [0, 1) per (walk, step) — the draw
+    threshold of the weighted hop. md5 mode: first 6 hex chars as an
+    integer (exactly replicable in DuckDB via per-char arithmetic);
+    xxhash64 mode: the cheaper production default, same construction
+    over the 64-bit hash."""
+    s = F.concat_ws(":", F.lit(str(seed)), walk_id, F.lit(str(step)))
+    if hash_mode == "md5":
+        x = F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("double")
+    else:
+        x = F.pmod(F.xxhash64(s), F.lit(_U_DENOM)).cast("double")
+    return x / F.lit(float(_U_DENOM))
 
 
 def metapath_walks(
@@ -62,7 +76,10 @@ def metapath_walks(
     ``metapath[(w + s) % len]`` where w is the walk index — the
     reference's rotating start (``name_disambiguation.py:492-493``).
     Step 0 rows are the start nodes (every pub spawns
-    ``walks_per_node`` walks).
+    ``walks_per_node`` walks). Each hop is drawn WEIGHT-PROPORTIONALLY
+    from the current channel's neighbor weights (the reference's alias
+    sampling, ``name_disambiguation.py:996-1058``), deterministically:
+    hash-uniform threshold into the ordered cumulative weight sum.
     """
     sym = None
     for a, b in ((F.col("id_a"), F.col("id_b")), (F.col("id_b"), F.col("id_a"))):
@@ -105,8 +122,10 @@ def metapath_walks(
             path_arr, ((F.col("_w") + s) % len(metapath)) + 1
         )
         chan_ok = F.lit(False)
+        chan_w = F.lit(0.0)
         for c in dict.fromkeys(metapath):
             chan_ok = F.when(ch == c, flag_of[c] > 0).otherwise(chan_ok)
+            chan_w = F.when(ch == c, flag_of[c]).otherwise(chan_w)
         cand = cur.join(
             sym.select(
                 F.col("block_key").alias("_bk"),
@@ -121,23 +140,200 @@ def metapath_walks(
             "walk_id",
             "_w",
             F.col("dst"),
-            _choice_key(
-                F.col("walk_id"), s + 1, F.col("dst"), hash_mode, seed
-            ).alias("hkey"),
+            chan_w.alias("wv"),
+            _step_uniform(F.col("walk_id"), s + 1, hash_mode, seed)
+            .alias("u"),
         )
-        # each step frame is read twice (next hop + output union), but
+        # weight-proportional draw: running weight sum in dst order
+        # (RANGE unbounded-preceding..current — identical default in
+        # DuckDB, and dst is unique per walk so RANGE == ROWS), pick
+        # the first neighbor whose cum crosses u * total. u < 1 -
+        # 2^-24 strictly, so u*tot < tot and a winner always exists.
+        # Each step frame is read twice (next hop + output union), but
         # both reads land in ONE action, so Catalyst's ReuseExchange
         # dedupes the step's shuffle — no O(L^2) recompute. Per-step
         # localCheckpoint (separate jobs per step) measured 1.6x
         # SLOWER than this single-DAG form at sf0.1.
-        cur = cand.groupBy("block_key", "walk_id", "_w").agg(
-            F.expr("min_by(dst, struct(hkey, dst))").alias("node")
+        wcum = Window.partitionBy("block_key", "walk_id").orderBy("dst")
+        wall = Window.partitionBy("block_key", "walk_id")
+        cur = (
+            cand.withColumn("cum", F.sum("wv").over(wcum))
+            # total = max(cum), NOT an unordered sum(wv): float addition
+            # is order-sensitive, and max(cum) pins the total to the
+            # same dst-ordered accumulation in every engine.
+            .withColumn("tot", F.max("cum").over(wall))
+            .where(F.col("cum") > F.col("u") * F.col("tot"))
+            .groupBy("block_key", "walk_id", "_w")
+            .agg(F.min("dst").alias("node"))
         )
         frames.append(cur.withColumn("step", F.lit(s + 1)))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.select("block_key", "walk_id", "step", "node")
+
+
+# the reference's training constants (name_disambiguation.py:1064-1066)
+REF_NUMWALKS = 4
+REF_WALKLENGTH = 10
+REF_NEGATIVE_NUM = 3
+
+
+def walk_training_pairs(
+    walks: DataFrame,
+    neg_weights: DataFrame,
+    walk_length: int,
+    negatives_per_pos: int = REF_NEGATIVE_NUM,
+    window: int = 2,
+    hash_mode: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """G3: the reference's skip-gram training triples (u_i, u_j, label)
+    from the walk corpus + the G2 distance distribution.
+
+    Reference (``name_disambiguation.py:1064-1127``): while walking,
+    each step emits (current, next, +1) and a window-2 peek positive,
+    each followed by ``negative_num`` negatives drawn
+    distance-proportionally from the G2 matrix (self/dist<=1 weight 0,
+    unreachable 6); a stuck walk emits one negative batch and breaks.
+    Constants there: numwalks=4, walklength=10, negative_num=3
+    (REF_NUMWALKS/REF_WALKLENGTH/REF_NEGATIVE_NUM).
+
+    Distributed re-expression over the REALIZED walk corpus:
+
+    - positives: window self-join of the walk frame — (node@s,
+      node@s+d, +1) for d in 1..window. Documented delta: the
+      reference's window-2 positive is an independent peek draw from
+      the next node's next-channel distribution; the realized s+2 node
+      is a sample from exactly that distribution (same support, same
+      probabilities), so the corpus is distribution-identical.
+    - negatives: ``negatives_per_pos`` per positive, drawn from the
+      caller's ``neg_weights`` frame ((block_key, src, dst,
+      neg_weight) — ``bfs_negative_weights`` output) with the same
+      deterministic cumulative-threshold draw as the walk hop:
+      u = hash(seed:walk:step:win:k), first dst in order whose
+      running neg_weight sum crosses u * total. Nodes absent from the
+      frame emit no negatives (the reference skips sampler==0 nodes
+      the same way).
+    - stuck walks (last emitted step < walk_length): one negative
+      batch keyed win=0, matching the reference's stuck branch.
+
+    Returns (block_key, walk_id, step, win, k, u_i, u_j, label) —
+    win = skip-gram distance (0 for stuck-batch negatives), k = the
+    negative draw index (0 for positives), label = +1/-1. One shuffle
+    per window offset + one per negative draw join; nothing is ever
+    per-block dense.
+    """
+    w = walks.select("block_key", "walk_id", "step", "node")
+    # positives: window self-join (equi-join on the walk key + step
+    # arithmetic — a shuffle on (block, walk_id), never all-pairs)
+    pos = None
+    for d in range(1, window + 1):
+        a = w.alias("a")
+        b = w.select(
+            "block_key",
+            "walk_id",
+            (F.col("step") - d).alias("step"),
+            F.col("node").alias("u_j"),
+        ).alias("b")
+        p = (
+            a.join(b, ["block_key", "walk_id", "step"])
+            .select(
+                "block_key",
+                "walk_id",
+                "step",
+                F.lit(d).alias("win"),
+                F.col("a.node").alias("u_i"),
+                "u_j",
+            )
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    pos = pos.localCheckpoint(eager=False)
+
+    # stuck-walk anchors: last emitted step with no successor before
+    # walk_length (the reference's "no forward path" branch)
+    nxt = w.select(
+        "block_key", "walk_id", (F.col("step") - 1).alias("step")
+    )
+    stuck = (
+        w.where(F.col("step") < walk_length)
+        .join(nxt, ["block_key", "walk_id", "step"], "left_anti")
+        .select(
+            "block_key",
+            "walk_id",
+            "step",
+            F.lit(0).alias("win"),
+            F.col("node").alias("u_i"),
+        )
+    )
+
+    # negative draws: one row per (anchor, k); the draw joins the
+    # anchor to its node's distance rows and picks the cumulative
+    # crossing — per-anchor candidate sets are the sparse dist<=max
+    # neighborhoods, so the join is bounded, never n^2.
+    anchors = pos.select(
+        "block_key", "walk_id", "step", "win", "u_i"
+    ).unionByName(stuck)
+    ks = walks.sparkSession.range(negatives_per_pos).select(
+        F.col("id").cast("int").alias("k")
+    )
+    drawn = anchors.crossJoin(F.broadcast(ks)).withColumn(
+        "u",
+        _step_uniform(
+            F.concat_ws(
+                ":",
+                F.col("walk_id"),
+                F.col("step"),
+                F.col("win"),
+                F.col("k"),
+            ),
+            0,
+            hash_mode,
+            seed,
+        ),
+    )
+    wcum = Window.partitionBy("block_key", "src").orderBy("dst")
+    wall = Window.partitionBy("block_key", "src")
+    cum = (
+        neg_weights.select("block_key", "src", "dst", "neg_weight")
+        .withColumn("cum", F.sum("neg_weight").over(wcum))
+        .withColumn("tot", F.max("cum").over(wall))
+    )
+    neg = (
+        drawn.join(
+            cum,
+            (drawn["block_key"] == cum["block_key"])
+            & (drawn["u_i"] == cum["src"]),
+        )
+        .where(F.col("cum") > F.col("u") * F.col("tot"))
+        .groupBy(
+            drawn["block_key"], "walk_id", "step", "win", "k", "u_i"
+        )
+        .agg(F.min("dst").alias("u_j"))
+    )
+
+    out = pos.select(
+        "block_key",
+        "walk_id",
+        "step",
+        "win",
+        F.lit(0).alias("k"),
+        "u_i",
+        "u_j",
+        F.lit(1).alias("label"),
+    ).unionByName(
+        neg.select(
+            "block_key",
+            "walk_id",
+            "step",
+            "win",
+            "k",
+            "u_i",
+            "u_j",
+            F.lit(-1).alias("label"),
+        )
+    )
+    return out
 
 
 def bfs_negative_weights(

@@ -160,3 +160,29 @@ def test_ghac_semantic_channel_flips_assignment(spark):
     assert frozenset({"c", "d", "e"}) in off
     on = clusters_of(ghac_clusters(pubs, scored, cfg, doc_vecs=doc_vecs))
     assert frozenset({"a", "bb", "e"}) in on
+
+
+def test_train_word_vectors_sample_fraction(spark):
+    """The 100-TB fit path: w2v_sample_fraction < 1 hash-samples the
+    sentences the FIT sees, deterministically (same vocab across
+    reruns), while document_vectors still covers every doc."""
+    pubs = _pubs(
+        spark,
+        [
+            ("b", f"p{i:02d}", ["alpha", "beta"], "venueword x", None)
+            for i in range(20)
+        ],
+    )
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, w2v_dim=4, w2v_iter=1, w2v_min_count=1,
+        w2v_sample_fraction=0.5,
+    )
+    wv1 = {r.word for r in train_word_vectors(pubs, cfg).collect()}
+    wv2 = {r.word for r in train_word_vectors(pubs, cfg).collect()}
+    assert wv1 == wv2  # deterministic hash sample, not sample()
+    assert "alpha" in wv1  # coverage survives the sample
+    # the doc-vector path is unchanged by the sampled fit: every doc
+    # with an in-vocab token gets a vector
+    wv = train_word_vectors(pubs, cfg)
+    docs = document_vectors(pubs, wv, cfg)
+    assert docs.count() == 20
