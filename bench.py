@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q36_metapath_walks",
     "q37_bfs_negative_weights",
     "q38_feature_propagation",
+    # round-4 training-triple emission (G3): window self-join +
+    # deterministic distance-proportional negative draws
+    "q49_walk_training_pairs",
     # round-3 semantic featurization (A3): per-component weighted agg
     "q41_semantic_docvecs",
     # curation ops: broadcast decontamination + repetition signals +

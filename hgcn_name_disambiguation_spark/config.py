@@ -227,6 +227,28 @@ class PipelineConfig:
     # 0.8528 -> 0.8705 at seed 421 (0.863-0.870 across seeds).
     semantic_alpha: float = 0.03
     semantic_cos_floor: float = 0.50
+    # GHAC per-block variant menu (round 4): the linkage runs under
+    # each weak-evidence downweight in ghac_weak_gammas x {semantic
+    # on/off} and keeps the partition capturing the largest
+    # coauthor-backed similarity mass within clusters; a variant must
+    # beat the default's capture by > ghac_select_margin (hysteresis).
+    # Measured: archived-100 macro F1 0.8683 -> 0.8766, zero blocks
+    # regressing > 0.02 (REFERENCE_EVAL_GHAC.md round 4).
+    ghac_weak_gammas: tuple = (1.0, 0.7, 0.45, 0.25)
+    ghac_select_margin: float = 0.005
+    # cc-path semantic cluster merge (round 4): after CC, clusters in
+    # SPARSE-evidence non-amb blocks merge when their centroid
+    # doc-vector cosine clears the tier threshold and no focal
+    # signatures conflict. theta > 1 disables a tier. The fit +
+    # merge run ONLY when some block qualifies (evidence-rich corpora
+    # — the synthetic fixtures — skip the whole stage, w2v fit
+    # included). Measured: cc macro F1 0.8154 -> 0.8240 on the
+    # reference's 114 labeled blocks.
+    semantic_merge: bool = True
+    semantic_merge_theta_rare: float = 0.60
+    semantic_merge_theta_common: float = 0.80
+    semantic_merge_theta_amb: float = 2.0    # disabled: closure risk
+    semantic_merge_max_clusters: int = 2000
     w2v_dim: int = 100
     w2v_window: int = 8           # must span the appended venue tokens
     w2v_iter: int = 10

@@ -133,6 +133,8 @@ def _ghac_block(
     use_combined_modularity: bool = False,
     sem_alpha: float = 0.0,
     sem_floor: float = 0.5,
+    weak_gammas: tuple = (1.0,),
+    select_margin: float = 0.005,
 ) -> pd.DataFrame:
     block = (
         pubs_pdf["block_key"].iloc[0]
@@ -189,6 +191,7 @@ def _ghac_block(
     # would collapse CC(sim > 0) to one component and degenerate the
     # search range.
     sim_struct = sim
+    semm = None
     if sem_alpha > 0 and "vec" in pubs_pdf.columns:
         vec_by_id = dict(zip(pubs_pdf["pub_id"], pubs_pdf["vec"]))
         rows = [vec_by_id.get(p) for p in ids]
@@ -203,24 +206,79 @@ def _ghac_block(
             Mn = M / norms
             C = Mn @ Mn.T
             np.fill_diagonal(C, 0.0)
-            sim = sim + sem_alpha * np.where(C >= sem_floor, C, 0.0)
+            semm = np.where(C >= sem_floor, C, 0.0)
 
-    if k is None:
-        # reference k-search (name_disambiguation.py:597-687): bounds
-        # from CC of the (sim > tau) and (sim > 0) graphs; argmax
-        # modularity of the similarity graph over HAC labelings.
-        k_lo = max(2, _components(sim_struct > tau))
-        k_hi = max(k_lo, _components(sim_struct > 0))
-        best_q, best_labels, best_k = -np.inf, None, k_lo
-        for kk in range(k_lo, k_hi + 1):
-            labels = _average_linkage(-sim, kk)
-            q = _modularity(mod_adj, labels)
-            if q > best_q:
-                best_q, best_labels, best_k = q, labels, kk
-        labels, k_used, method = best_labels, best_k, "modularity-search"
+    # Weak-evidence matrix (coauthorless pairs — scoring.match_flags'
+    # is_weak). The VARIANT MENU runs the linkage under several weak
+    # downweights x {semantic on/off} and keeps the partition capturing
+    # the largest strong-evidence (coauthor-backed) similarity mass
+    # within clusters — an unsupervised per-block model selection.
+    # Measured (REFERENCE_EVAL_GHAC.md round 4): archived-100 macro F1
+    # 0.8683 -> 0.8766, ZERO blocks regressing > 0.02. A variant must
+    # beat the default's capture by > select_margin to be chosen
+    # (hysteresis: equal-capture blocks keep round-3 behavior).
+    weakm = np.zeros((n, n), dtype=bool)
+    if "is_weak" in pairs_pdf.columns:
+        for ia, ib, w in zip(
+            pairs_pdf["id_a"], pairs_pdf["id_b"], pairs_pdf["is_weak"]
+        ):
+            a, b = pos.get(ia), pos.get(ib)
+            if a is None or b is None or not w:
+                continue
+            weakm[a, b] = weakm[b, a] = True
+    # the menu exists only where weak evidence exists: blocks whose
+    # pairs are all coauthor-backed keep the single default variant
+    # (selection never second-guesses the semantic channel there —
+    # measured equivalent on the real corpus, and it keeps the
+    # operator contract simple: doc_vecs=ON means semantics apply).
+    if weakm.any():
+        variants: list[tuple[float, float]] = [
+            (g, sem_alpha) for g in tuple(weak_gammas)
+        ]
+        if sem_alpha > 0 and semm is not None:
+            variants += [(1.0, 0.0), (0.45, 0.0)]
+        variants = list(dict.fromkeys(variants))
     else:
-        labels = _average_linkage(-sim, min(k, n))
-        k_used, method = min(k, n), "fixed-k"
+        variants = [(1.0, sem_alpha)]
+    strongm = np.where(weakm, 0.0, sim_struct)
+    strong_total = strongm.sum()
+
+    def labels_for(sim_v, kk):
+        return _average_linkage(-sim_v, kk)
+
+    best = None  # (capture, labels, k_used)
+    default_capture = None
+    for g, a in variants:
+        sim_v = np.where(weakm, sim_struct * g, sim_struct)
+        if a > 0 and semm is not None:
+            sim_v = sim_v + a * semm
+        if k is None:
+            # reference k-search (name_disambiguation.py:597-687):
+            # bounds from CC of the (sim > tau) and (sim > 0) graphs;
+            # argmax modularity over HAC labelings.
+            k_lo = max(2, _components(sim_struct > tau))
+            k_hi = max(k_lo, _components(sim_struct > 0))
+            best_q, labels, k_used = -np.inf, None, k_lo
+            for kk in range(k_lo, k_hi + 1):
+                lab = labels_for(sim_v, kk)
+                q = _modularity(mod_adj, lab)
+                if q > best_q:
+                    best_q, labels, k_used = q, lab, kk
+        else:
+            k_used = min(k, n)
+            labels = labels_for(sim_v, k_used)
+        if strong_total > 0:
+            same = labels[:, None] == labels[None, :]
+            capture = strongm[same].sum() / strong_total
+        else:
+            capture = 0.0
+        if default_capture is None:
+            default_capture = capture
+            best = (capture, labels, k_used)
+        elif capture > max(best[0], default_capture + select_margin):
+            best = (capture, labels, k_used)
+    _, labels, k_used = best
+    method = "modularity-search" if k is None else "fixed-k"
 
     return pd.DataFrame(
         {
@@ -292,6 +350,8 @@ def ghac_clusters(
         )
     use_combined = modularity_graph == "combined"
     cols = ["block_key", "id_a", "id_b", F.col(score_col).alias("score")]
+    if "is_weak" in scored.columns:
+        cols.append("is_weak")
     if use_combined and {
         "w_coauthor", "w_title", "w_venue"
     } <= set(scored.columns):
@@ -317,6 +377,8 @@ def ghac_clusters(
         return _ghac_block(
             pubs_pdf, pairs_pdf, k, tau, max_n, use_combined,
             sem_alpha=sem_alpha, sem_floor=config.semantic_cos_floor,
+            weak_gammas=tuple(config.ghac_weak_gammas),
+            select_margin=config.ghac_select_margin,
         )
 
     return (

@@ -288,7 +288,50 @@ def cluster_from_context(
         clustered = refine_clusters(
             clustered, ctx.scored, config, traits=ctx.traits
         )
+    if config.semantic_merge:
+        clustered = _semantic_merge_stage(pubs, clustered, ctx, config)
     return clustered
+
+
+def _semantic_merge_stage(
+    pubs: DataFrame,
+    clustered: DataFrame,
+    ctx: MatchContext,
+    config: PipelineConfig,
+) -> DataFrame:
+    """cc recall layer: semantic centroid cluster merge over sparse
+    non-amb blocks (operators/cluster_merge.py). The Word2Vec fit is
+    the expensive part, so eligibility is decided FIRST with one
+    driver-side scalar over the per-block traits frame (rows = blocks,
+    tiny at any corpus scale): evidence-rich corpora — the synthetic
+    fixtures, any corpus whose matched-pair scores are dense — skip
+    the stage entirely, fit included. Same auto-calibration contract
+    as the round-3 adaptive layer: ONE default config, recall levers
+    only where evidence is poor."""
+    theta = (
+        F.when(F.col("tier") == "rare", F.lit(config.semantic_merge_theta_rare))
+        .when(F.col("tier") == "common", F.lit(config.semantic_merge_theta_common))
+        .otherwise(F.lit(config.semantic_merge_theta_amb))
+    )
+    eligible = (
+        ctx.traits.where(F.col("sparse"))
+        .withColumn("theta", theta)
+        .where(F.col("theta") <= 1.0)
+        .select("block_key", "theta")
+    )
+    # one scalar action over the block-level frame — bounded by the
+    # number of blocks, never by rows
+    if eligible.isEmpty():
+        return clustered
+    from ..operators.cluster_merge import semantic_cluster_merge
+    from ..operators.name_constraints import focal_signatures
+    from ..operators.semantic import semantic_document_vectors
+
+    doc_vecs = semantic_document_vectors(pubs, config)
+    sigs = focal_signatures(pubs.select("block_key", "pub_id", "authors"))
+    return semantic_cluster_merge(
+        clustered, doc_vecs, sigs, eligible, config
+    )
 
 
 def compute_matches(
