@@ -2067,7 +2067,8 @@ def q49_walk_training_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     pubs = _docs_as_pubs(docs)
     cfg = PipelineConfig(max_token_df_per_block=40)
-    edges = combined_edges(pubs, cfg)
+    # walks AND bfs consume the edge subtree: truncate it once
+    edges = combined_edges(pubs, cfg).localCheckpoint(eager=True)
     walks = metapath_walks(
         pubs, edges, metapath=("A", "V"), walk_length=4,
         walks_per_node=2, hash_mode="md5",

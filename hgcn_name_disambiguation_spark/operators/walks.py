@@ -224,7 +224,13 @@ def walk_training_pairs(
     per window offset + one per negative draw join; nothing is ever
     per-block dense.
     """
-    w = walks.select("block_key", "walk_id", "step", "node")
+    # the corpus is consumed 4x (two window offsets, the successor
+    # probe, the stuck anti-join): materialize it ONCE — without this
+    # the whole iterative walk DAG re-executes per consumer (measured
+    # 75s -> ~40s for the q49 shape at sf0.1)
+    w = walks.select(
+        "block_key", "walk_id", "step", "node"
+    ).localCheckpoint(eager=True)
     # positives: window self-join (equi-join on the walk key + step
     # arithmetic — a shuffle on (block, walk_id), never all-pairs)
     pos = None
