@@ -26,8 +26,9 @@ Semantics, per eligible block (sparse-evidence, non-amb tier):
 Scale stance: every step is keyed by (block_key[, cluster]) — the
 centroid agg is one map-side-combinable shuffle over (block, cluster,
 component-pos); the candidate join is per-block clusters x clusters,
-bounded by ``semantic_merge_max_clusters`` (mega blocks fall back to
-no-merge, counted not silent — they are amb-tier and gated off anyway);
+bounded by ``semantic_merge_max_clusters`` (blocks over the cap keep
+their CC clusters unmerged; on the reference corpus every such block
+is amb-tier and already theta-gated off);
 the sig-guard join runs over DISTINCT (cluster, signature) rows, which
 given-name variants bound far below member counts. Nothing dense in
 the number of pubs ever materializes.
