@@ -84,3 +84,79 @@ def test_compatible_sigs_do_not_veto(spark):
     eligible = spark.createDataFrame([("b", 0.8)], ["block_key", "theta"])
     got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
     assert frozenset({"p1", "p2", "p3", "p4"}) in got
+
+
+def test_pipeline_gate_rich_corpus_skips_fit(spark, monkeypatch):
+    """_semantic_merge_stage: when no block is sparse (evidence-rich
+    corpus), the stage returns the input unchanged WITHOUT training
+    word vectors (the fit is the expensive part — the gate must keep
+    rich corpora zero-cost)."""
+    import types
+
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
+    from hgcn_name_disambiguation_spark.plans import pipeline as P
+
+    clustered = spark.createDataFrame(
+        [("b", "p1", "c1")], ["block_key", "pub_id", "cluster_id"]
+    )
+    traits = spark.createDataFrame(
+        [("b", "rare", False, False)],
+        ["block_key", "tier", "sparse", "gated"],
+    )
+    ctx = types.SimpleNamespace(traits=traits)
+
+    def boom(*a, **k):
+        raise AssertionError("w2v fit must not run for rich corpora")
+
+    import hgcn_name_disambiguation_spark.operators.semantic as sem
+    monkeypatch.setattr(sem, "semantic_document_vectors", boom)
+    out = P._semantic_merge_stage(None, clustered, ctx, DEFAULT_CONFIG)
+    assert out is clustered
+
+
+def test_pipeline_gate_sparse_block_merges(spark, monkeypatch):
+    """Sparse rare-tier block -> the stage runs: doc vectors fetched,
+    focal sigs computed, same-topic clusters merged end-to-end through
+    the real merge operator. Doc vectors are patched to a fixed frame
+    — a Word2Vec fit on a 3-doc corpus is noise, and the fit itself is
+    covered by test_semantic; THIS test pins the gate + wiring."""
+    import types
+
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
+    from hgcn_name_disambiguation_spark.plans import pipeline as P
+
+    rows = [
+        ("jane roe", "p1", "t a", ["Jane Roe", "A One"], "VLDB"),
+        ("jane roe", "p2", "t b", ["Jane Roe", "B Two"], "ICDE"),
+        ("jane roe", "p3", "t c", ["Jane Roe", "C Three"], "ISMB"),
+    ]
+    pubs = spark.createDataFrame(
+        rows, ["block_key", "pub_id", "title", "authors", "venue"]
+    )
+    clustered = spark.createDataFrame(
+        [("jane roe", "p1", "c1"), ("jane roe", "p2", "c2"),
+         ("jane roe", "p3", "c3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    traits = spark.createDataFrame(
+        [("jane roe", "rare", True, False)],
+        ["block_key", "tier", "sparse", "gated"],
+    )
+    ctx = types.SimpleNamespace(traits=traits)
+    fixed_vecs = spark.createDataFrame(
+        [("jane roe", "p1", [1.0, 0.0]), ("jane roe", "p2", [0.95, 0.05]),
+         ("jane roe", "p3", [0.0, 1.0])],
+        ["block_key", "pub_id", "vec"],
+    )
+    import hgcn_name_disambiguation_spark.operators.semantic as sem
+    monkeypatch.setattr(
+        sem, "semantic_document_vectors", lambda *a, **k: fixed_vecs
+    )
+    out = P._semantic_merge_stage(pubs, clustered, ctx, DEFAULT_CONFIG)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.cluster_id, set()).add(r.pub_id)
+    clusters = {frozenset(v) for v in got.values()}
+    # p1/p2 share topic tokens -> merged; p3 (different topic) alone
+    assert frozenset({"p1", "p2"}) in clusters
+    assert frozenset({"p3"}) in clusters
