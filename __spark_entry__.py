@@ -2179,6 +2179,52 @@ FROM negs
     )
 
 
+def q50_bigram_logprob(spark, sf):
+    """CCNet-style LM quality score: per-doc mean log-prob under an
+    add-one-smoothed corpus bigram model (curation.bigram_logprob) —
+    the external-data-free analogue of perplexity filtering for
+    pretraining corpora. Pure joins/aggs; oracle replicates the exact
+    counts + ln in DuckDB."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(_t(spark, sf, "documents"))
+
+
+Q50_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+toks AS (
+  SELECT doc_id, g.tok, g.pos FROM docs,
+  LATERAL (SELECT unnest(string_split(ntext, ' ')) AS tok,
+                  generate_subscripts(string_split(ntext, ' '), 1) AS pos) g),
+bigr AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bigr GROUP BY 1, 2),
+cc AS (SELECT w1, COUNT(*) AS cc FROM bigr GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+scored AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+         AVG(ln((bc.bc + 1.0) / (cc.cc + v.v))) AS alp
+  FROM bigr g
+  JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+  JOIN cc ON cc.w1 = g.w1
+  CROSS JOIN v
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(s.alp, 6) AS avg_logprob,
+       ROUND(-s.alp, 6) AS ppl_proxy
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2230,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_media_features_md5": q47_media_features_md5,
         "q48_pii_redaction": q48_pii_redaction,
         "q49_walk_training_pairs": q49_walk_training_pairs,
+        "q50_bigram_logprob": q50_bigram_logprob,
     }
 
 
@@ -2289,4 +2336,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_media_features_md5": _q47_sql(),
         "q48_pii_redaction": _q48_sql(),
         "q49_walk_training_pairs": _q49_sql(),
+        "q50_bigram_logprob": Q50_SQL,
     }

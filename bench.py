@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q44_repetition_filter",
     "q46_sequence_packing",
     "q48_pii_redaction",
+    # round-4 LM quality scoring (corpus bigram model)
+    "q50_bigram_logprob",
 ]
 
 

@@ -313,3 +313,77 @@ def repetition_features(
         .cast("int")
         .alias("repetitive"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-doc mean
+    log-probability under an add-one-smoothed CORPUS bigram model
+    (Wenzek et al. 2020 filter cheap documents by LM perplexity; a
+    corpus-trained bigram model is the external-data-free analogue —
+    boilerplate and gibberish score low, fluent text scores high).
+
+        P(w2 | w1) = (count(w1 w2) + 1) / (count(w1 ·) + V)
+        avg_logprob(doc) = mean over the doc's bigrams of ln P
+
+    Returns (doc_id, n_bigrams, avg_logprob ROUND 6, ppl_proxy =
+    -avg_logprob); docs with < 2 tokens get NULL scores (no bigrams).
+
+    Scale shape: the model IS two aggregations (bigram counts keyed by
+    (w1, w2), continuation totals keyed by w1 — both map-side
+    combined); scoring is one join from the doc bigram frame to the
+    count frames on their natural keys, then a per-doc mean. Nothing
+    dense, no UDFs, no driver-side model — at 100 TB the 'model' stays
+    a distributed frame joined by key, exactly how an LM-filter
+    pass over a pretraining corpus has to work.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bcounts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    ccounts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    vocab_n = toks.select(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        bigrams.join(bcounts, ["w1", "w2"])
+        .join(ccounts, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("bc") + F.lit(1.0))
+                / (F.col("cc") + F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("_alp"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(F.col("_alp"), 6).alias("avg_logprob"),
+        F.round(-F.col("_alp"), 6).alias("ppl_proxy"),
+    )

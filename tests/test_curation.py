@@ -299,3 +299,31 @@ def test_repetition_features_brute_force(spark):
     assert got[1]["repetitive"] == 0
     assert got[2]["repetitive"] == 1  # dominant bigram
     assert got[3]["repetitive"] == 0 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one-smoothed corpus bigram model vs hand arithmetic."""
+    import math
+
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        bigram_logprob,
+    )
+
+    # corpus: bigrams = d0: (a b), (b a); d1: (a b); d2: none
+    rows = [(0, "a b a"), (1, "a b"), (2, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # vocab = {a, b, solo} -> V=3
+    # counts: (a,b)=2, (b,a)=1; continuations: a·=2, b·=1
+    p_ab = (2 + 1) / (2 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    d0 = (math.log(p_ab) + math.log(p_ba)) / 2
+    assert got[0].n_bigrams == 2
+    assert abs(got[0].avg_logprob - round(d0, 6)) < 1e-9
+    assert got[1].n_bigrams == 1
+    assert abs(got[1].avg_logprob - round(math.log(p_ab), 6)) < 1e-9
+    assert got[1].ppl_proxy == -got[1].avg_logprob
+    # single-token doc: no bigrams, NULL scores
+    assert got[2].n_bigrams == 0 and got[2].avg_logprob is None
+    # fluency ordering: the repeated in-corpus bigram scores higher
+    assert got[1].avg_logprob > d0 - 1e-9
