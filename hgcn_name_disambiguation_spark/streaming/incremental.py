@@ -81,6 +81,81 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_contaminated_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the batch decontamination (curation.
+    contamination_flags / q42), flag-stream form: emit the doc_id of
+    every stream document sharing ANY word n-gram shingle with a
+    STATIC eval/benchmark set.
+
+    Shape: explode shingles, stream-static LEFT SEMI against the
+    (tiny, broadcast) eval shingle frame, distinct-free — stateless,
+    so it survives an unbounded crawl with zero state store. The
+    filtered-docs form needs a per-doc aggregate or a stream-stream
+    anti-join (both unsupported/stateful); production pipelines either
+    consume this flag stream at the sink or run the batch
+    ``contamination_flags`` inside ``foreachBatch``, where every
+    micro-batch is a plain DataFrame. Shingling uses the array kernel
+    (``dedup.shingles`` — transform/sequence expressions; the batch
+    op's window-LEAD index form is not streamable), so batch and
+    stream agree on what "contaminated" means.
+    """
+    from ..operators.dedup import normalized_text, shingles
+
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            shingles(normalized_text(F.col(text_col)), n)
+        ).alias("shingle"),
+    )
+    doc_sh = sh(docs)
+    eval_sh = sh(eval_docs).select("shingle").distinct()
+    return doc_sh.join(
+        F.broadcast(eval_sh), "shingle", "left_semi"
+    ).select("doc_id", "shingle")
+
+
+def streaming_contamination_clean(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Filtered-docs decontamination form: keep stream documents with
+    ZERO shingle overlap against the eval set, as a pure narrow filter.
+
+    The eval shingles are collected ONCE at query-build time into a
+    plan literal (benchmarks are MBs against an unbounded corpus — the
+    asymmetry the batch op broadcasts on) and the per-row check is
+    ``arrays_overlap`` against the doc's own shingle array: JVM-side,
+    stateless, no join at all, so every Structured Streaming output
+    mode accepts it. For eval sets too big for a plan literal, use
+    ``streaming_contaminated_ids`` + a sink-side exclusion instead.
+    """
+    from ..operators.dedup import shingles
+    from ..operators.dedup import normalized_text
+
+    eval_sh = [
+        r["shingle"]
+        for r in (
+            eval_docs.select(
+                F.explode(
+                    shingles(normalized_text(F.col(text_col)), n)
+                ).alias("shingle")
+            )
+            .distinct()
+            .collect()
+        )
+    ]
+    lit_arr = F.array(*[F.lit(s) for s in sorted(eval_sh)]) if eval_sh else F.array().cast("array<string>")
+    doc_arr = shingles(normalized_text(F.col(text_col)), n)
+    return docs.where(~F.arrays_overlap(doc_arr, lit_arr))
+
+
 class IncrementalDisambiguator:
     """foreachBatch incremental ER over a stream of repo_files rows.
 

@@ -196,3 +196,65 @@ def test_streaming_exact_dedup(spark, tmp_path):
         F.sha2(F.col("text").cast("binary"), 256).alias("s")
     ).distinct().count()
     assert batch == 7
+
+
+def test_streaming_decontamination(spark, tmp_path):
+    """Stream-static decontamination, both forms: the flag stream
+    (stateless semi-join) marks exactly the docs sharing a 3-gram with
+    the static eval set; the literal-array filter keeps exactly the
+    clean ones — and both agree with the batch operator's verdicts."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        contamination_flags,
+    )
+    from hgcn_name_disambiguation_spark.streaming.incremental import (
+        streaming_contaminated_ids,
+        streaming_contamination_clean,
+    )
+
+    bench = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": 0, "text": "intro alpha beta gamma outro words"},  # hit
+        {"doc_id": 1, "text": "totally clean body of running text"},
+        {"doc_id": 2, "text": bench},                                  # hit
+        {"doc_id": 3, "text": "another clean one with fresh tokens"},
+    ]
+    docs = spark.createDataFrame(rows)
+    src = str(tmp_path / "decon_src")
+    docs.write.mode("overwrite").parquet(src)
+    ev = spark.createDataFrame([{"doc_id": 100, "text": bench}])
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    flags = streaming_contaminated_ids(stream, ev, n=3)
+    q1 = (
+        flags.writeStream.outputMode("append").format("memory")
+        .queryName("decon_flags").start()
+    )
+    clean = streaming_contamination_clean(stream, ev, n=3)
+    q2 = (
+        clean.writeStream.outputMode("append").format("memory")
+        .queryName("decon_clean").start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        hit_ids = {
+            r.doc_id for r in spark.sql(
+                "SELECT DISTINCT doc_id FROM decon_flags").collect()
+        }
+        kept = {
+            r.doc_id for r in spark.sql(
+                "SELECT doc_id FROM decon_clean").collect()
+        }
+    finally:
+        q1.stop()
+        q2.stop()
+    assert hit_ids == {0, 2}
+    assert kept == {1, 3}
+    # batch/stream agreement on the contamination verdict
+    batch = {
+        r["doc_id"]
+        for r in contamination_flags(docs, ev, n=3).collect()
+        if r["contaminated"] == 1
+    }
+    assert batch == hit_ids
