@@ -2184,7 +2184,9 @@ def q50_bigram_logprob(spark, sf):
     add-one-smoothed corpus bigram model (curation.bigram_logprob) —
     the external-data-free analogue of perplexity filtering for
     pretraining corpora. Pure joins/aggs; oracle replicates the exact
-    counts + ln in DuckDB."""
+    counts + ln in DuckDB. Output is integer micro-nats (per-term
+    floor(1e6*ln P), exact integer sum, floored mean) — rounded
+    DOUBLEs are not hash-stable across engines (the q42 lesson)."""
     from hgcn_name_disambiguation_spark.operators.curation import (
         bigram_logprob,
     )
@@ -2210,7 +2212,8 @@ cc AS (SELECT w1, COUNT(*) AS cc FROM bigr GROUP BY 1),
 v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
 scored AS (
   SELECT g.doc_id, COUNT(*) AS n_bigrams,
-         AVG(ln((bc.bc + 1.0) / (cc.cc + v.v))) AS alp
+         SUM(CAST(FLOOR(1e6 * ln((bc.bc + 1.0) / (cc.cc + v.v)))
+                  AS BIGINT)) AS slp
   FROM bigr g
   JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
   JOIN cc ON cc.w1 = g.w1
@@ -2218,8 +2221,10 @@ scored AS (
   GROUP BY 1)
 SELECT d.doc_id,
        CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       ROUND(s.alp, 6) AS avg_logprob,
-       ROUND(-s.alp, 6) AS ppl_proxy
+       CAST(FLOOR(CAST(s.slp AS DOUBLE) / s.n_bigrams) AS BIGINT)
+         AS avg_logprob_micro,
+       -CAST(FLOOR(CAST(s.slp AS DOUBLE) / s.n_bigrams) AS BIGINT)
+         AS ppl_micro
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN scored s USING (doc_id)
 """

@@ -329,8 +329,17 @@ def bigram_logprob(
         P(w2 | w1) = (count(w1 w2) + 1) / (count(w1 ·) + V)
         avg_logprob(doc) = mean over the doc's bigrams of ln P
 
-    Returns (doc_id, n_bigrams, avg_logprob ROUND 6, ppl_proxy =
-    -avg_logprob); docs with < 2 tokens get NULL scores (no bigrams).
+    Returns (doc_id, n_bigrams, avg_logprob_micro, ppl_micro =
+    -avg_logprob_micro); docs with < 2 tokens get NULL scores (no
+    bigrams). Scores are INTEGER MICRO-NATS: each bigram contributes
+    floor(1e6 * ln P) — a BIGINT — and the per-doc mean is
+    floor(sum / n) over those exact integers. Rounded DOUBLEs are not
+    hash-stable across engines (last-ulp ln differences plus
+    order-sensitive AVG summation — the q42 lesson); flooring each
+    term to micro-units makes the sum exact and order-insensitive,
+    and the only residual cross-engine risk is a per-DISTINCT-count
+    ln value landing within one ulp of a 1e-6 boundary (~1e-10 odds
+    per distinct (bc, cc) pair).
 
     Scale shape: the model IS two aggregations (bigram counts keyed by
     (w1, w2), continuation totals keyed by w1 — both map-side
@@ -369,21 +378,30 @@ def bigram_logprob(
         .crossJoin(F.broadcast(vocab_n))
         .select(
             "doc_id",
-            F.log(
-                (F.col("bc") + F.lit(1.0))
-                / (F.col("cc") + F.col("v"))
-            ).alias("lp"),
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.col("bc") + F.lit(1.0))
+                    / (F.col("cc") + F.col("v"))
+                )
+            ).alias("lp_micro"),
         )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg("lp").alias("_alp"),
+            F.sum("lp_micro").alias("_slp"),
         )
     )
     base = df.select(F.col(id_col).alias("doc_id")).distinct()
+    # exact-integer sum / count: IEEE double division of two exact
+    # integers is correctly rounded identically on JVM and libm, so
+    # the floor is engine-stable.
+    avg_micro = F.floor(
+        F.col("_slp").cast("double") / F.col("n_bigrams")
+    )
     return base.join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.round(F.col("_alp"), 6).alias("avg_logprob"),
-        F.round(-F.col("_alp"), 6).alias("ppl_proxy"),
+        avg_micro.alias("avg_logprob_micro"),
+        (-avg_micro).alias("ppl_micro"),
     )

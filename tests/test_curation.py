@@ -315,15 +315,19 @@ def test_bigram_logprob_hand_computed(spark):
     got = {r.doc_id: r for r in bigram_logprob(df).collect()}
     # vocab = {a, b, solo} -> V=3
     # counts: (a,b)=2, (b,a)=1; continuations: a·=2, b·=1
+    # scores are integer micro-nats: floor(1e6*ln p) per bigram,
+    # exact integer sum, floored mean (engine-stable, the q42 fix).
     p_ab = (2 + 1) / (2 + 3)
     p_ba = (1 + 1) / (1 + 3)
-    d0 = (math.log(p_ab) + math.log(p_ba)) / 2
+    m_ab = math.floor(1e6 * math.log(p_ab))
+    m_ba = math.floor(1e6 * math.log(p_ba))
+    d0 = math.floor((m_ab + m_ba) / 2)
     assert got[0].n_bigrams == 2
-    assert abs(got[0].avg_logprob - round(d0, 6)) < 1e-9
+    assert got[0].avg_logprob_micro == d0
     assert got[1].n_bigrams == 1
-    assert abs(got[1].avg_logprob - round(math.log(p_ab), 6)) < 1e-9
-    assert got[1].ppl_proxy == -got[1].avg_logprob
+    assert got[1].avg_logprob_micro == m_ab
+    assert got[1].ppl_micro == -got[1].avg_logprob_micro
     # single-token doc: no bigrams, NULL scores
-    assert got[2].n_bigrams == 0 and got[2].avg_logprob is None
+    assert got[2].n_bigrams == 0 and got[2].avg_logprob_micro is None
     # fluency ordering: the repeated in-corpus bigram scores higher
-    assert got[1].avg_logprob > d0 - 1e-9
+    assert got[1].avg_logprob_micro >= d0
