@@ -1,5 +1,7 @@
-"""Graph-operator scaling bench: walk / BFS / propagation wall-clock
-vs edge count (the iterative-join linearity claim, VERDICT r3 ask #8).
+"""Graph-operator scaling bench: walk / BFS / propagation /
+training-pair wall-clock vs edge count (the iterative-join linearity
+claim, VERDICT r3 ask #8; r4 ask #6 adds walk_training_pairs — the
+heaviest headline query — to the measured curve).
 
 No sf1 parquet exists in the driver testdata, so the input is the
 sf0.1 documents table block-replicated K times (lang -> lang#k,
@@ -10,7 +12,10 @@ external data.
 
 Usage: python tools/bench_graph_scale.py [--scales 1,2,4,8] [--repeats 1]
 Prints one JSON line per (scale, op) and a summary with per-op
-wall-vs-edges ratios normalized to scale 1.
+wall-vs-edges ratios normalized to scale 1. With --repeats N each op
+is timed N times per scale and the MIN wall is reported (this host
+has documented ~2x run-to-run noise windows; min-of-N is the
+noise-robust statistic for a deterministic job).
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from hgcn_name_disambiguation_spark.operators.propagate import (  # noqa: E402
 from hgcn_name_disambiguation_spark.operators.walks import (  # noqa: E402
     bfs_negative_weights,
     metapath_walks,
+    walk_training_pairs,
 )
 
 
@@ -68,6 +74,7 @@ def main(argv=None) -> int:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args(argv)
 
     spark = (
@@ -81,6 +88,16 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(max_token_df_per_block=40)
 
+    def timed(thunk):
+        """(min wall over --repeats, last row count)."""
+        best, n = None, None
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            n = thunk()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
+
     results = []
     for k in [int(s) for s in args.scales.split(",")]:
         docs = replicated(spark, args.sf_dir, k)
@@ -90,32 +107,48 @@ def main(argv=None) -> int:
         n_edges = edges.count()
         t_edges = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        n_walks = metapath_walks(
-            pubs, edges, metapath=("A", "V"), walk_length=4,
-            walks_per_node=2, hash_mode="xxhash64",
-        ).count()
-        t_walks = time.perf_counter() - t0
+        t_walks, n_walks = timed(
+            lambda: metapath_walks(
+                pubs, edges, metapath=("A", "V"), walk_length=4,
+                walks_per_node=2, hash_mode="xxhash64",
+            ).count()
+        )
 
-        t0 = time.perf_counter()
-        n_bfs = bfs_negative_weights(edges, max_hops=2).count()
-        t_bfs = time.perf_counter() - t0
+        t_bfs, n_bfs = timed(
+            lambda: bfs_negative_weights(edges, max_hops=2).count()
+        )
 
-        t0 = time.perf_counter()
         feats = token_idf_index(pubs, cfg).select(
             "block_key", "pub_id", F.col("tok").alias("token"),
             F.col("idf").alias("w"),
         )
-        n_prop = feature_propagation(
-            pubs.select("block_key", "pub_id"), edges, feats
-        ).count()
-        t_prop = time.perf_counter() - t0
+        t_prop, n_prop = timed(
+            lambda: feature_propagation(
+                pubs.select("block_key", "pub_id"), edges, feats
+            ).count()
+        )
+
+        # q49's shape: walks + BFS negatives feed the skip-gram
+        # training-triple emission (the heaviest headline query)
+        def _train():
+            walks = metapath_walks(
+                pubs, edges, metapath=("A", "V"), walk_length=4,
+                walks_per_node=2, hash_mode="xxhash64",
+            )
+            neg = bfs_negative_weights(edges, max_hops=2)
+            return walk_training_pairs(
+                walks, neg, walk_length=4, negatives_per_pos=3,
+                hash_mode="xxhash64",
+            ).count()
+
+        t_train, n_train = timed(_train)
 
         row = {
             "scale": k, "edges": n_edges, "edges_s": round(t_edges, 2),
             "walk_rows": n_walks, "walks_s": round(t_walks, 2),
             "bfs_rows": n_bfs, "bfs_s": round(t_bfs, 2),
             "prop_rows": n_prop, "prop_s": round(t_prop, 2),
+            "train_rows": n_train, "train_s": round(t_train, 2),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -134,8 +167,9 @@ def main(argv=None) -> int:
                 )
                 for r in results
             ]
-            for op in ("walks", "bfs", "prop")
+            for op in ("walks", "bfs", "prop", "train")
         },
+        "repeats": args.repeats,
     }
     print(json.dumps(summary))
     spark.stop()
