@@ -16,33 +16,36 @@ Semantics, per eligible block (sparse-evidence, non-amb tier):
 1. centroid = mean of member doc vectors (pubs without vectors don't
    contribute; clusters with no vectors never merge),
 2. candidate merges = centroid pairs with cosine >= theta(tier),
-3. focal-signature guard: a merge is vetoed when ANY member signature
-   of one cluster is position-wise incompatible with ANY member
-   signature of the other ("john a" never merges with "john w"),
-4. the passing merge edges close transitively (connected components —
-   a greedy by-cosine union-find yields the identical partition since
-   constraints are evaluated pairwise before merging).
+3. focal-signature guard + closure: passing edges merge GREEDILY by
+   descending cosine through a per-block union-find whose union step
+   checks the two components' ACCUMULATED distinct signature sets —
+   a union is applied only when every signature on one side is
+   position-wise compatible with every signature on the other
+   ("john a" never merges with "john w", not even transitively
+   through a signature-less intermediate cluster). Plain transitive
+   closure over pairwise-vetoed edges is NOT equivalent: clusters A
+   ('john a') and C ('john w') would close through an intermediate B
+   with empty/compatible signatures even though the direct A-C edge
+   is vetoed — exactly the false-merge class the guard exists to
+   prevent (round-5 fix).
 
 Scale stance: every step is keyed by (block_key[, cluster]) — the
 centroid agg is one map-side-combinable shuffle over (block, cluster,
 component-pos); the candidate join is per-block clusters x clusters,
 bounded by ``semantic_merge_max_clusters`` (blocks over the cap keep
 their CC clusters unmerged; on the reference corpus every such block
-is amb-tier and already theta-gated off);
-the sig-guard join runs over DISTINCT (cluster, signature) rows, which
-given-name variants bound far below member counts. Nothing dense in
-the number of pubs ever materializes.
+is amb-tier and already theta-gated off). The union-find runs as one
+Arrow-batched cogroup keyed by block_key over CLUSTER-level frames
+(edges <= cap^2 per block, distinct signatures bounded by given-name
+variants) — block-parallel, never dense in the number of pubs.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..operators.clustering import connected_components
-from ..operators.name_constraints import sig_compatible
-
-_SEP = "\x1f"
 
 
 def _centroids(members: DataFrame, doc_vecs: DataFrame) -> DataFrame:
@@ -85,6 +88,84 @@ def _centroids(members: DataFrame, doc_vecs: DataFrame) -> DataFrame:
         .where(F.col("cnorm") > 0)
     )
     return cent
+
+
+def _py_sig_compatible(a, b) -> bool:
+    """Python replica of name_constraints.sig_compatible: position-wise
+    given-name compatibility (equal token, or an initial sharing the
+    first letter; missing tail tokens match — Python zip truncates to
+    the shorter array, same semantics as zip_with's null padding)."""
+    if not len(a) or not len(b):
+        return True
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if (len(x) == 1 or len(y) == 1) and x[:1] == y[:1]:
+            continue
+        return False
+    return True
+
+
+def _merge_components(edges: pd.DataFrame, sigpd: pd.DataFrame) -> pd.DataFrame:
+    """Per-block greedy merge closure (cogroup kernel).
+
+    Edges (ca, cb, cos) are processed in descending-cosine order
+    (ties broken by (ca, cb) for determinism) through a union-find;
+    a union is applied only when the two components' accumulated
+    distinct signature sets are pairwise compatible. The component
+    representative is the minimum cluster_id — the same choice the
+    previous connected-components closure made, so unconstrained
+    blocks partition identically.
+    """
+    cols = ["block_key", "cluster_id", "_merged"]
+    if edges.empty:
+        return pd.DataFrame(columns=cols)
+    bk = edges["block_key"].iloc[0]
+
+    sig_of: dict[str, set[tuple]] = {}
+    for cid, sig in zip(sigpd["cluster_id"], sigpd["sig"]):
+        # pandas renders a missing list cell as a float NaN
+        if sig is None or isinstance(sig, float):
+            continue
+        sig_of.setdefault(cid, set()).add(tuple(sig))
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comp_sigs: dict[str, set[tuple]] = {}
+    for _, e in edges.sort_values(
+        ["cos", "ca", "cb"], ascending=[False, True, True]
+    ).iterrows():
+        ca, cb = e["ca"], e["cb"]
+        for c in (ca, cb):
+            if c not in parent:
+                parent[c] = c
+                comp_sigs[c] = set(sig_of.get(c, ()))
+        ra, rb = find(ca), find(cb)
+        if ra == rb:
+            continue
+        sa, sb = comp_sigs[ra], comp_sigs[rb]
+        if all(
+            _py_sig_compatible(a, b) for a in sa for b in sb
+        ):
+            parent[rb] = ra
+            comp_sigs[ra] = sa | sb
+            comp_sigs.pop(rb)
+
+    groups: dict[str, list[str]] = {}
+    for c in parent:
+        groups.setdefault(find(c), []).append(c)
+    rows = []
+    for members_ in groups.values():
+        rep = min(members_)
+        for c in members_:
+            rows.append((bk, c, rep))
+    return pd.DataFrame(rows, columns=cols)
 
 
 def semantic_cluster_merge(
@@ -160,7 +241,8 @@ def semantic_cluster_merge(
         .drop("theta")
     )
 
-    # focal-signature guard over DISTINCT cluster signatures
+    # distinct per-cluster signatures — the union-find's constraint
+    # input (given-name variants bound rows far below member counts)
     csigs = (
         members.join(
             sigs.select("block_key", "pub_id", "sig"),
@@ -169,46 +251,17 @@ def semantic_cluster_merge(
         .where(F.col("sig").isNotNull() & (F.size("sig") > 0))
         .select("block_key", "cluster_id", "sig")
         .dropDuplicates(["block_key", "cluster_id", "sig"])
-        .localCheckpoint(eager=False)
     )
-    sa = csigs.select(
-        F.col("block_key").alias("_bk"),
-        F.col("cluster_id").alias("ca"),
-        F.col("sig").alias("_sa"),
-    )
-    sb = csigs.select(
-        F.col("block_key").alias("_bk"),
-        F.col("cluster_id").alias("cb"),
-        F.col("sig").alias("_sb"),
-    )
-    vetoed = (
-        pairs.join(
-            sa,
-            (pairs["block_key"] == sa["_bk"]) & (pairs["ca"] == sa["ca"]),
-        )
-        .join(
-            sb,
-            (pairs["block_key"] == sb["_bk"]) & (pairs["cb"] == sb["cb"]),
-        )
-        .where(~sig_compatible(F.col("_sa"), F.col("_sb")))
-        .select("block_key", pairs["ca"], pairs["cb"])
-        .distinct()
-    )
-    merges = pairs.join(
-        vetoed, ["block_key", "ca", "cb"], "left_anti"
-    ).select("block_key", "ca", "cb")
 
-    node = lambda c: F.concat_ws(_SEP, F.col("block_key"), c)  # noqa: E731
-    comp = connected_components(
-        merges.select(node(F.col("ca")).alias("src"), node(F.col("cb")).alias("dst")),
-        config=config,
-    )
-    mapping = comp.select(
-        F.split_part(F.col("node"), F.lit(_SEP), F.lit(1)).alias("block_key"),
-        F.split_part(F.col("node"), F.lit(_SEP), F.lit(2)).alias("cluster_id"),
-        F.split_part(F.col("component"), F.lit(_SEP), F.lit(2)).alias(
-            "_merged"
-        ),
+    # greedy by-cosine union-find with accumulated-signature checks,
+    # one Arrow batch per block over cluster-level rows
+    mapping = (
+        pairs.groupBy("block_key")
+        .cogroup(csigs.groupBy("block_key"))
+        .applyInPandas(
+            _merge_components,
+            schema="block_key string, cluster_id string, _merged string",
+        )
     )
     return (
         clustered.join(mapping, ["block_key", "cluster_id"], "left")

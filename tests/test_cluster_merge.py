@@ -65,6 +65,35 @@ def test_merge_vetoed_by_incompatible_sigs(spark):
     assert frozenset({"p3", "p4"}) in got
 
 
+def test_veto_holds_transitively_through_sigless_bridge(spark):
+    """Round-5 ADVICE fix: 'john a' must not reach 'john w' through an
+    intermediate cluster with no signatures. Pairwise-veto + plain
+    transitive closure would merge all three (A-B and B-C edges pass;
+    the vetoed A-C edge is irrelevant to closure); the greedy
+    union-find checks ACCUMULATED component signatures at union time,
+    so after A absorbs B the B-C union is rejected."""
+    clustered = spark.createDataFrame(
+        [("b", "p1", "c1"), ("b", "p2", "c2"), ("b", "p3", "c3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    # all three centroid pairs clear theta; cos(c1,c2) is the largest,
+    # so greedy processes A-B first
+    doc_vecs = spark.createDataFrame(
+        [("b", "p1", [1.0, 0.0]), ("b", "p2", [0.99, 0.02]),
+         ("b", "p3", [0.9, 0.1])],
+        ["block_key", "pub_id", "vec"],
+    )
+    sigs = spark.createDataFrame(
+        [("b", "p1", ["john", "a"]), ("b", "p2", None),
+         ("b", "p3", ["john", "w"])],
+        "block_key string, pub_id string, sig array<string>",
+    )
+    eligible = spark.createDataFrame([("b", 0.8)], ["block_key", "theta"])
+    got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
+    assert frozenset({"p1", "p2"}) in got
+    assert frozenset({"p3"}) in got
+
+
 def test_ineligible_block_untouched(spark):
     clustered, doc_vecs, sigs = _frames(spark)
     eligible = spark.createDataFrame(
