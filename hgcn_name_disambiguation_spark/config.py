@@ -260,6 +260,15 @@ class PipelineConfig:
     # coverage, not every document — document_vectors still covers
     # every doc regardless of this knob.
     w2v_sample_fraction: float = 1.0
+    # scale-safety cap for the DEFAULT config (round 5): when
+    # w2v_sample_fraction is 1.0, the fit auto-derives an effective
+    # fraction of min(1, cap / corpus_sentences), so the serialized
+    # w2v_num_partitions=1 fit is bounded-constant work no matter the
+    # corpus size — a full-corpus 1-partition fit is a 100-TB
+    # scale-killer in the default path. 0 disables the cap. Small
+    # corpora (the reference's 9.5k pubs, every fixture) sit far
+    # under the cap, so the default fit is byte-identical to round 4.
+    w2v_max_fit_sentences: int = 1_000_000
 
     # --- misc ---
     stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)

@@ -85,12 +85,26 @@ def train_word_vectors(
     ``DataFrame.sample``'s partition-dependent RNG), while
     ``document_vectors`` still featurizes EVERY document. Embeddings
     need token co-occurrence coverage, not every sentence.
+
+    The DEFAULT config engages that path automatically (round 5):
+    with ``w2v_sample_fraction=1.0`` the fit counts the corpus once
+    and caps its input at ``w2v_max_fit_sentences`` — so the
+    deterministic 1-partition fit is bounded-constant work at any
+    corpus size, and sub-cap corpora (the reference corpus, every
+    fixture) fit on exactly the same sentences as before.
     """
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
 
     sents = training_sentences(pubs, config)
     frac = min(max(config.w2v_sample_fraction, 0.0), 1.0)
+    if frac >= 1.0 and config.w2v_max_fit_sentences > 0:
+        # auto-derive the 100-TB-safe fraction: one bounded scalar
+        # action (a count the fit's own cost dwarfs) caps the
+        # sentences the serialized fit consumes at a constant.
+        n = sents.count()
+        if n > config.w2v_max_fit_sentences:
+            frac = config.w2v_max_fit_sentences / n
     if frac < 1.0:
         bound = int(frac * (2 ** 63 - 1))
         sents = sents.where(

@@ -186,3 +186,41 @@ def test_train_word_vectors_sample_fraction(spark):
     wv = train_word_vectors(pubs, cfg)
     docs = document_vectors(pubs, wv, cfg)
     assert docs.count() == 20
+
+
+def test_train_word_vectors_auto_cap(spark):
+    """Round-5 scale-safety: the DEFAULT config (sample_fraction=1.0)
+    auto-derives the fit fraction from w2v_max_fit_sentences, and is
+    exactly equivalent to passing that fraction explicitly. Sub-cap
+    corpora are untouched (fit sees every sentence)."""
+    pubs = _pubs(
+        spark,
+        [
+            ("b", f"p{i:02d}", ["alpha", "beta"], "venueword x", None)
+            for i in range(20)
+        ],
+    )
+    base = dict(w2v_dim=4, w2v_iter=1, w2v_min_count=1)
+    # cap of 10 over 20 sentences -> effective fraction 0.5: the
+    # auto-capped fit must produce the identical vocabulary (same
+    # deterministic hash sample, same seed) as the explicit knob
+    auto = dataclasses.replace(
+        DEFAULT_CONFIG, w2v_max_fit_sentences=10, **base
+    )
+    explicit = dataclasses.replace(
+        DEFAULT_CONFIG, w2v_sample_fraction=0.5,
+        w2v_max_fit_sentences=0, **base
+    )
+    va = {r.word for r in train_word_vectors(pubs, auto).collect()}
+    ve = {r.word for r in train_word_vectors(pubs, explicit).collect()}
+    assert va == ve
+    # corpus under the cap: identical to the uncapped fit
+    under = dataclasses.replace(
+        DEFAULT_CONFIG, w2v_max_fit_sentences=1000, **base
+    )
+    off = dataclasses.replace(
+        DEFAULT_CONFIG, w2v_max_fit_sentences=0, **base
+    )
+    vu = {r.word for r in train_word_vectors(pubs, under).collect()}
+    vo = {r.word for r in train_word_vectors(pubs, off).collect()}
+    assert vu == vo
