@@ -594,6 +594,29 @@ WHERE ({eq}) / {float(n_hashes)} >= {thr}
 Q31_SQL = _q19_sql()
 
 
+# Round-5 golden pin (VERDICT r4 ask #4): the xxhash64 PRODUCTION mode
+# output at the driver's correctness scale (sf0.01), pinned literally
+# from a verified run — q31 proves the algorithm in md5 mode; this
+# golden proves the production mode's actual output. est_jaccard is
+# n/64 (dyadic, exactly representable — no rounding instability).
+# Regenerate CONSCIOUSLY if shingling/banding/threshold change.
+Q19_GOLDEN_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(est_jaccard AS DOUBLE) AS est_jaccard
+FROM (VALUES
+  (8, 245, 1.0), (26, 455, 0.859375), (31, 383, 0.9375),
+  (44, 446, 0.953125), (45, 267, 0.96875), (45, 413, 0.984375),
+  (58, 293, 0.953125), (61, 185, 1.0), (70, 447, 0.984375),
+  (72, 377, 0.953125), (87, 134, 0.984375), (92, 450, 0.96875),
+  (98, 290, 1.0), (107, 387, 0.984375), (120, 332, 0.96875),
+  (152, 178, 0.984375), (166, 323, 0.984375), (267, 413, 0.984375),
+  (285, 301, 0.984375), (295, 374, 0.984375), (310, 389, 0.96875),
+  (326, 457, 0.96875), (393, 420, 1.0), (435, 486, 0.96875),
+  (458, 462, 1.0)
+) AS t(id_a, id_b, est_jaccard)
+"""
+
+
 def q20_simhash(spark, sf):
     """Production path (xxhash64, 64-bit — rows-only; the md5 twin is
     hash-checked as q32)."""
@@ -652,6 +675,21 @@ FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 
 Q32_SQL = _q20_sql()
+
+
+# Round-5 golden pin for q20's xxhash64 production mode (same contract
+# as Q19_GOLDEN_SQL; hamming is INT to match simhash_pairs' schema).
+Q20_GOLDEN_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES
+  (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0),
+  (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1),
+  (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2),
+  (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
+  (458, 462, 2)
+) AS t(id_a, id_b, hamming)
+"""
 
 
 def q21_knn_lsh(spark, sf):
@@ -2304,13 +2342,17 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # Rows-only: q19/q20 (xxhash64 production paths — their md5
-        # twins q31/q32 ARE hash-checked), q23 (sha256-of-BLOB —
-        # DuckDB's sha256 is VARCHAR-only). The CC RESULT (q18) is
-        # closure-checked recursively; q28 (iterative HAC) checks
-        # against a pinned golden-membership-hash literal; everything
-        # else replicates in DuckDB exactly.
+        # q19/q20 (xxhash64 production paths): algorithm proved by the
+        # md5 twins q31/q32 AND the production output golden-pinned
+        # (round 5) as VALUES literals from a verified run. Rows-only:
+        # q23 (sha256-of-BLOB — DuckDB's sha256 is VARCHAR-only; md5
+        # twin q47). The CC RESULT (q18) is closure-checked
+        # recursively; q28 (iterative HAC) checks against a pinned
+        # golden-membership-hash literal; everything else replicates
+        # in DuckDB exactly.
         "q18_er_clusters": Q18_SQL,
+        "q19_minhash_lsh": Q19_GOLDEN_SQL,
+        "q20_simhash": Q20_GOLDEN_SQL,
         "q28_ghac_parity": Q28_GOLDEN_SQL,
         "q21_knn_lsh": Q21_SQL,
         "q22_knn_ivf": Q22_SQL,
