@@ -842,6 +842,68 @@ def q23_media_features(spark, sf):
     )
 
 
+# Round-5 golden pin for q23 (sha256-of-BLOB feature extraction:
+# DuckDB cannot replicate BLOB sha256, so the md5-of-hex twin q47
+# proves the algorithm and this literal pins the production
+# output — fake_media_table is deterministic, so the 48-row
+# feature table is a constant). Regenerate CONSCIOUSLY if the
+# fake-decode kernel or dim changes.
+Q23_GOLDEN_SQL = """
+SELECT CAST(media_id AS VARCHAR) AS media_id, CAST(feat AS VARCHAR) AS feat,
+       CAST(ok AS BOOLEAN) AS ok, CAST(err AS VARCHAR) AS err
+FROM (VALUES
+  ('m0000', '-0.65490,-0.48235,0.23922,-0.28627,-0.71765,0.49020,0.89020,0.20784,0.23137,0.41176,-0.49804,0.93725,0.29412,-0.71765,-0.24706,0.39608', TRUE, NULL),
+  ('m0001', '0.05098,0.40392,-0.03529,-0.73333,0.70196,0.78824,-0.42745,-0.95294,0.16078,-0.72549,-0.67059,-0.95294,-0.39608,0.95294,0.76471,0.56863', TRUE, NULL),
+  ('m0002', '0.35686,0.76471,-0.29412,-0.70980,-0.53725,-0.88235,-0.96863,-0.63137,-0.64706,-0.62353,-0.76471,-0.24706,0.15294,-0.73333,-0.25490,0.10588', TRUE, NULL),
+  ('m0003', '0.75686,-0.89020,-0.13725,-0.90588,0.89804,-0.05882,0.23137,-0.71765,-0.70196,-0.01176,-0.42745,-0.51373,-0.24706,0.07451,0.89804,-0.49020', TRUE, NULL),
+  ('m0004', '0.45882,-0.15294,0.31765,0.33333,0.06667,-0.42745,-0.88235,-0.72549,0.76471,0.49020,0.31765,-0.03529,0.39608,0.58431,0.30980,0.48235', TRUE, NULL),
+  ('m0005', '0.28627,0.25490,-1.00000,0.51373,0.69412,0.12157,-0.05098,-0.16863,0.35686,0.03529,0.41176,-0.12941,-0.84314,-0.64706,-0.41176,0.70196', TRUE, NULL),
+  ('m0006', '0.28627,1.00000,-0.08235,-0.73333,0.12941,-0.94510,-0.36471,0.76471,0.67843,-0.68627,-0.60784,-0.49804,0.92157,0.01176,-0.16078,-0.77255', TRUE, NULL),
+  ('m0007', '-0.03529,-0.39608,0.95294,-0.01176,-0.21569,0.17647,-0.09804,0.88235,0.45098,0.41176,-0.54510,-0.27843,0.22353,-0.92157,-0.68627,0.77255', TRUE, NULL),
+  ('m0008', '0.99216,-0.62353,0.71765,0.27059,-0.17647,0.24706,0.01961,-0.41961,-0.45882,0.21569,0.67843,0.60784,-0.65490,0.85882,0.60784,0.16863', TRUE, NULL),
+  ('m0009', '-0.39608,-0.13725,0.01176,0.14510,-0.34118,0.34118,0.25490,0.78824,-0.75686,0.07451,-0.16863,-0.76471,-0.34118,0.13725,-0.01176,-0.39608', TRUE, NULL),
+  ('m0010', '-0.26275,-0.35686,-0.16078,-0.56863,-0.77255,-0.59216,0.90588,0.73333,-0.11373,-0.06667,-0.74902,-0.70196,-0.60784,0.85098,-0.74902,-0.88235', TRUE, NULL),
+  ('m0011', '0.16863,0.62353,-0.14510,-0.53725,0.94510,-0.45882,-0.52941,-0.56078,0.59216,0.69412,0.63922,0.27843,0.86667,0.27059,0.90588,0.78824', TRUE, NULL),
+  ('m0012', '0.51373,0.60784,-0.79608,-0.21569,0.00392,-0.49804,0.13725,0.66275,0.92157,-0.78039,-0.62353,-0.89020,-0.47451,-0.17647,-0.25490,0.03529', TRUE, NULL),
+  ('m0013', '0.44314,0.30196,-0.14510,0.09020,-0.31765,-0.49020,-0.85882,0.47451,-0.31765,0.76471,-0.77255,-0.39608,0.66275,-0.88235,-0.63137,0.52157', TRUE, NULL),
+  ('m0014', '0.80392,0.88235,0.00392,0.91373,-0.82745,-0.44314,-0.82745,0.92941,0.09804,0.98431,0.61569,-0.40392,0.35686,-0.29412,-0.62353,-0.91373', TRUE, NULL),
+  ('m0015', '-0.52941,0.56863,-0.93725,0.81961,-0.34118,0.88235,-0.85098,-0.68627,-0.03529,0.12941,-0.69412,0.34118,-0.37255,0.72549,-0.70980,0.44314', TRUE, NULL),
+  ('m0016', '0.40392,0.62353,0.67843,0.84314,-0.09020,0.18431,-1.00000,0.60784,-0.43529,-0.14510,0.09804,0.08235,0.13725,-0.05882,-0.01961,-0.38039', TRUE, NULL),
+  ('m0017', '0.75686,-0.96863,-0.08235,-0.43529,-0.95294,-0.10588,0.88235,0.33333,0.12941,0.41961,-0.05098,-0.44314,-0.86667,0.58431,-0.46667,0.16078', TRUE, NULL),
+  ('m0018', '0.49020,-0.03529,0.42745,0.26275,0.68627,-0.56863,0.45882,0.41176,0.93725,-0.24706,0.72549,-0.88235,-0.56078,0.52157,-0.65490,-0.89804', TRUE, NULL),
+  ('m0019', '0.55294,0.23137,-0.85098,-0.38824,-0.72549,-0.34902,-0.43529,-0.34118,0.31765,0.84314,-0.63922,-0.63137,-0.19216,0.38039,0.10588,0.99216', TRUE, NULL),
+  ('m0020', '-0.18431,-0.43529,-0.73333,-0.07451,0.86667,0.45882,1.00000,-0.55294,0.06667,0.27843,-0.50588,0.87451,0.25490,-0.42745,0.98431,0.03529', TRUE, NULL),
+  ('m0021', '0.38039,-0.51373,0.75686,0.50588,-0.37255,0.59216,-0.63137,0.11373,0.49804,-0.39608,-0.02745,-0.29412,0.16078,0.11373,0.09020,-0.83529', TRUE, NULL),
+  ('m0022', '0.17647,0.26275,-0.31765,0.44314,-0.92941,-0.06667,0.83529,-0.65490,0.30980,0.24706,0.95294,0.64706,-0.42745,-1.00000,-0.93725,-0.69412', TRUE, NULL),
+  ('m0023', '0.65490,-0.60000,0.72549,0.92157,0.88235,0.44314,-0.64706,0.72549,-0.49020,-0.86667,0.39608,-0.97647,0.09804,0.01176,0.21569,0.52941', TRUE, NULL),
+  ('m0024', '-0.87451,-0.46667,0.16863,-0.67059,-0.11373,-0.65490,0.45882,-0.63922,-0.78824,0.91373,0.12157,0.10588,-0.72549,0.49020,0.45098,0.69412', TRUE, NULL),
+  ('m0025', '-0.62353,-0.20784,-0.35686,0.06667,0.91373,0.93725,-0.49020,-0.01961,0.83529,0.86667,0.06667,0.05098,-0.78824,-0.25490,-0.25490,-0.65490', TRUE, NULL),
+  ('m0026', '-0.38039,-0.24706,0.41176,0.79608,-0.37255,0.50588,-0.54510,0.43529,-0.56078,-0.57647,0.58431,-0.71765,0.31765,0.07451,-0.85098,-0.70980', TRUE, NULL),
+  ('m0027', '0.43529,0.65490,0.67059,-0.24706,0.75686,0.32549,-0.72549,-0.95294,0.92941,-0.96078,-0.70196,-0.89804,-0.58431,-0.79608,0.74902,0.89020', TRUE, NULL),
+  ('m0028', '-0.16078,0.29412,-0.63137,-0.01176,0.55294,0.86667,-0.00392,0.31765,0.90588,-0.34902,0.92941,-0.55294,0.88235,-0.83529,0.49020,-0.76471', TRUE, NULL),
+  ('m0029', '0.84314,0.17647,0.84314,-0.00392,0.53725,-0.88235,-0.14510,0.60784,0.38039,0.70980,-0.26275,0.86667,0.55294,-0.78824,-0.75686,0.57647', TRUE, NULL),
+  ('m0030', '0.48235,-0.64706,-0.26275,0.11373,-0.95294,0.56078,-0.10588,-0.23922,0.34902,0.20784,0.51373,-0.11373,0.45098,0.51373,0.63922,0.75686', TRUE, NULL),
+  ('m0031', '0.83529,0.73333,0.56078,0.28627,-0.87451,-0.05882,0.79608,0.52941,-0.81961,-0.37255,-0.06667,0.50588,0.99216,-0.16078,-0.10588,0.56078', TRUE, NULL),
+  ('m0032', '-0.07451,-0.87451,0.49804,-0.37255,0.30196,0.38039,-0.88235,-0.30980,0.74902,-0.69412,0.67059,0.89020,0.33333,0.43529,0.09020,0.05098', TRUE, NULL),
+  ('m0033', '0.56863,0.18431,0.55294,0.85098,-0.57647,0.97647,-0.82745,0.14510,-0.10588,-0.41961,0.58431,0.29412,0.59216,0.17647,-0.71765,-0.76471', TRUE, NULL),
+  ('m0034', '-0.60000,0.88235,0.94510,-0.03529,-0.23137,0.13725,-0.44314,0.54510,0.71765,0.79608,0.81176,0.93725,-0.02745,0.10588,-0.56078,-0.98431', TRUE, NULL),
+  ('m0035', '-0.12157,0.75686,-1.00000,0.39608,-0.60784,0.03529,-0.32549,0.72549,-0.72549,0.83529,0.52157,0.67843,0.04314,0.18431,-0.01961,0.83529', TRUE, NULL),
+  ('m0036', '-0.73333,0.77255,-0.33333,-0.63137,-0.21569,0.14510,-0.60000,-0.41176,0.16863,0.71765,-0.31765,0.58431,0.01176,0.78039,-0.56078,0.73333', TRUE, NULL),
+  ('m0037', '-0.85098,0.99216,0.63137,0.92157,-0.39608,0.24706,0.88235,0.94510,-0.31765,0.42745,-0.35686,0.44314,-0.94510,0.17647,0.73333,0.99216', TRUE, NULL),
+  ('m0038', '-0.80392,0.01176,-0.39608,-0.67059,0.34118,0.60784,-0.62353,0.45882,-0.12941,-0.05098,-0.52941,-0.65490,0.75686,0.74118,0.45098,0.89020', TRUE, NULL),
+  ('m0039', '-0.19216,-0.33333,0.92941,0.02745,0.58431,0.75686,-0.62353,-0.99216,0.30196,-0.10588,-0.89020,0.05882,-0.24706,0.99216,0.33333,-0.02745', TRUE, NULL),
+  ('m0040', '-0.29412,0.41176,-0.93725,0.82745,-0.60000,-0.01176,0.61569,-0.70196,0.01961,-0.10588,0.30196,-0.66275,0.85882,0.83529,0.69412,0.20000', TRUE, NULL),
+  ('m0041', '-0.70980,0.97647,-0.49804,0.70196,-0.59216,-0.85098,0.19216,0.38824,0.30196,-0.67843,0.53725,0.15294,-0.63922,-0.76471,0.52157,-0.70196', TRUE, NULL),
+  ('m0042', '0.34902,-0.45098,-0.26275,0.60000,-0.38824,0.53725,-0.34118,0.63922,0.20000,-0.09020,0.23922,-0.44314,-0.53725,-0.67059,-0.16078,-0.41961', TRUE, NULL),
+  ('m0043', '0.14510,-0.45098,-0.28627,-0.81961,-0.68627,0.43529,0.87451,0.89020,0.76471,0.00392,-0.30980,0.90588,0.59216,0.79608,-0.59216,0.13725', TRUE, NULL),
+  ('m0044', '0.38824,0.90588,0.08235,0.49020,-0.01961,0.94510,-0.56863,-0.72549,0.23137,-0.05882,0.67843,-0.36471,0.65490,0.78824,-0.41176,-0.05882', TRUE, NULL),
+  ('m0045', '0.15294,-0.08235,-0.42745,-0.62353,-0.96863,0.19216,0.54510,0.05882,0.09020,-0.98431,-0.63922,0.85098,0.01961,0.95294,-0.52941,0.07451', TRUE, NULL),
+  ('m0046', '0.11373,-0.94510,0.37255,0.84314,-0.10588,-0.14510,-0.92941,-0.15294,-0.94510,0.16078,-0.41176,0.99216,0.81176,0.50588,0.12157,-0.07451', TRUE, NULL),
+  ('m0047', '0.53725,0.87451,-0.90588,-0.01961,-0.68627,-0.16078,-0.68627,0.95294,0.97647,-0.01961,0.91373,0.73333,0.48235,-0.56863,-0.65490,0.82745', TRUE, NULL)
+) AS t(media_id, feat, ok, err)
+"""
+
+
 def q24_video_frames(spark, sf):
     media = fake_media_table(spark, n=48)
     return sample_video_frames(media, every_ms=1000)
@@ -2342,17 +2404,18 @@ def oracle_sql() -> dict[str, str]:
         "q15_emb_neardup_exact": Q15_SQL,
         "q16_knn_brute": Q16_SQL,
         "q17_er_metrics": Q17_SQL,
-        # q19/q20 (xxhash64 production paths): algorithm proved by the
-        # md5 twins q31/q32 AND the production output golden-pinned
-        # (round 5) as VALUES literals from a verified run. Rows-only:
-        # q23 (sha256-of-BLOB — DuckDB's sha256 is VARCHAR-only; md5
-        # twin q47). The CC RESULT (q18) is closure-checked
+        # q19/q20 (xxhash64 production paths) and q23 (sha256-of-BLOB,
+        # VARCHAR-only in DuckDB): algorithm proved by the md5 twins
+        # q31/q32/q47 AND the production outputs golden-pinned (round
+        # 5) as VALUES literals from verified runs — every query now
+        # has an oracle. The CC RESULT (q18) is closure-checked
         # recursively; q28 (iterative HAC) checks against a pinned
         # golden-membership-hash literal; everything else replicates
         # in DuckDB exactly.
         "q18_er_clusters": Q18_SQL,
         "q19_minhash_lsh": Q19_GOLDEN_SQL,
         "q20_simhash": Q20_GOLDEN_SQL,
+        "q23_media_features": Q23_GOLDEN_SQL,
         "q28_ghac_parity": Q28_GOLDEN_SQL,
         "q21_knn_lsh": Q21_SQL,
         "q22_knn_ivf": Q22_SQL,
