@@ -232,29 +232,35 @@ def walk_training_pairs(
         "block_key", "walk_id", "step", "node"
     ).localCheckpoint(eager=True)
     # positives: window self-join (equi-join on the walk key + step
-    # arithmetic — a shuffle on (block, walk_id), never all-pairs)
-    pos = None
+    # arithmetic — a shuffle on (block, walk_id), never all-pairs).
+    # All window offsets fold into ONE join: the step-shifted frames
+    # union first (join distributes over union, so the output rows
+    # are identical to per-offset joins), costing one shuffle of the
+    # (window x) shifted frame instead of `window` shuffles of each
+    # side (round-5 fold, VERDICT r4 ask #7).
+    shifted = None
     for d in range(1, window + 1):
-        a = w.alias("a")
-        b = w.select(
+        s = w.select(
             "block_key",
             "walk_id",
             (F.col("step") - d).alias("step"),
             F.col("node").alias("u_j"),
-        ).alias("b")
-        p = (
-            a.join(b, ["block_key", "walk_id", "step"])
-            .select(
-                "block_key",
-                "walk_id",
-                "step",
-                F.lit(d).alias("win"),
-                F.col("a.node").alias("u_i"),
-                "u_j",
-            )
+            F.lit(d).alias("win"),
         )
-        pos = p if pos is None else pos.unionByName(p)
-    pos = pos.localCheckpoint(eager=False)
+        shifted = s if shifted is None else shifted.unionByName(s)
+    pos = (
+        w.alias("a")
+        .join(shifted.alias("b"), ["block_key", "walk_id", "step"])
+        .select(
+            "block_key",
+            "walk_id",
+            "step",
+            "win",
+            F.col("a.node").alias("u_i"),
+            "u_j",
+        )
+        .localCheckpoint(eager=False)
+    )
 
     # stuck-walk anchors: last emitted step with no successor before
     # walk_length (the reference's "no forward path" branch)
