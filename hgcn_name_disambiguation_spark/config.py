@@ -179,8 +179,13 @@ class PipelineConfig:
     # so modest title similarity is reliable evidence. Title-only pairs
     # with IDF-cosine >= rare_rescue_cos match in rare blocks (the
     # global strong_title_cos bar stays for other tiers). Only applies
-    # to evidence-SPARSE blocks (see refine_richness_max).
-    rare_rescue_cos: float = 0.25
+    # to evidence-SPARSE blocks (see refine_richness_max). OFF (1.0)
+    # by default since round 5: the semantic cluster merge supersedes
+    # it — measured on the 114 labeled blocks, rescue-off is +0.49
+    # macro F1 with ZERO blocks regressing (michael wagner +0.28,
+    # alok gupta +0.26), and rescue hurts even with semantic_merge
+    # off (0.8181 vs 0.8154). Set < 1.0 to re-enable.
+    rare_rescue_cos: float = 1.0
 
     # --- cluster-level agglomeration (clustering.refine_clusters) ---
     # rounds of cluster-pair merging on aggregated (incl. sub-threshold)
@@ -243,11 +248,15 @@ class PipelineConfig:
     # merge run ONLY when some block qualifies (evidence-rich corpora
     # — the synthetic fixtures — skip the whole stage, w2v fit
     # included). Measured: cc macro F1 0.8154 -> 0.8240 on the
-    # reference's 114 labeled blocks.
+    # reference's 114 labeled blocks (round 4); round 5 enables the
+    # amb tier at a high bar (0.90) — safe only since the greedy
+    # sig-checked union-find closure bounds transitive damage —
+    # measured +0.19 macro F1, zero blocks regressing (plateau .88-.90;
+    # 0.85 costs hao wang/kai zhang precision, 0.80 costs 6 blocks).
     semantic_merge: bool = True
     semantic_merge_theta_rare: float = 0.60
     semantic_merge_theta_common: float = 0.80
-    semantic_merge_theta_amb: float = 2.0    # disabled: closure risk
+    semantic_merge_theta_amb: float = 0.90
     semantic_merge_max_clusters: int = 2000
     w2v_dim: int = 100
     w2v_window: int = 8           # must span the appended venue tokens
