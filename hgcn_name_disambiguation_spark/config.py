@@ -258,6 +258,38 @@ class PipelineConfig:
     semantic_merge_theta_common: float = 0.80
     semantic_merge_theta_amb: float = 0.90
     semantic_merge_max_clusters: int = 2000
+    # Round-5 merge-rule extensions beyond the flat theta (each is an
+    # OR-branch of the edge-acceptance predicate; all accepted edges
+    # still pass the greedy sig-checked union-find):
+    #  * mutual-top1 + margin: merge clusters that are each other's
+    #    BEST centroid-cosine partner in the block when the cosine
+    #    clears a tier floor and leads both endpoints' second-best by
+    #    a margin (relative evidence — absolute cosine scales differ
+    #    per block). Pairs involving a cluster smaller than
+    #    mutual_min_size need the larger singleton margin (singleton
+    #    centroids are one noisy document).
+    #  * maxdoc: amb-tier pairs in [maxdoc_floor, theta) also merge
+    #    when some MEMBER document pair clears maxdoc_theta (a
+    #    same-paper-series signature two blurred centroids miss).
+    #  * rounds: centroids are recomputed after a merge pass and the
+    #    rules reapplied (fixpoint capped at semantic_merge_rounds) —
+    #    merged clusters sharpen their centroids.
+    # Measured on the reference's 114 labeled blocks (offline replica
+    # sweep, REFERENCE_EVAL.md round-5 addendum): macro F1
+    # 0.8322 -> 0.8398, ZERO blocks regressing > 0.02. Floors/margins
+    # below the measured values bleed precision (mutual margin .12
+    # regresses ji zhang -0.056; pair-level semantic edges measured
+    # dead: post-pipeline cross-cluster zero-evidence pairs are only
+    # ~24% same-author even at doc-cos >= 0.6).
+    semantic_merge_rounds: int = 2
+    semantic_merge_mutual_margin: float = 0.15
+    semantic_merge_mutual_margin_singleton: float = 0.30
+    semantic_merge_mutual_min_size: int = 2
+    semantic_merge_mutual_floor_rare: float = 0.55
+    semantic_merge_mutual_floor_common: float = 0.65
+    semantic_merge_mutual_floor_amb: float = 0.55
+    semantic_merge_maxdoc_theta_amb: float = 0.92
+    semantic_merge_maxdoc_floor: float = 0.60
     w2v_dim: int = 100
     w2v_window: int = 8           # must span the appended venue tokens
     w2v_iter: int = 10

@@ -11,11 +11,19 @@ labeled blocks (tiered thresholds rare 0.6 / common 0.8 / amb off,
 focal-signature guard; sweep in REFERENCE_EVAL_GHAC.md round-4
 addendum).
 
-Semantics, per eligible block (sparse-evidence, non-amb tier):
+Semantics, per eligible block (sparse-evidence; all tiers carry at
+least one live rule since round 5):
 
 1. centroid = mean of member doc vectors (pubs without vectors don't
    contribute; clusters with no vectors never merge),
-2. candidate merges = centroid pairs with cosine >= theta(tier),
+2. candidate merges = centroid pairs accepted by ANY of: flat
+   cosine >= theta(tier); mutual-top1 + margin over both endpoints'
+   second-best (round 5 — relative evidence, with a stricter margin
+   when a singleton cluster is involved); amb-tier best member-pair
+   cosine >= maxdoc_theta inside the [maxdoc_floor, theta) window
+   (round 5). Rule rationale + measured sweep: config.py and the
+   REFERENCE_EVAL.md round-5 addendum (0.8322 -> 0.8398 macro F1,
+   zero blocks regressing),
 3. focal-signature guard + closure: passing edges merge GREEDILY by
    descending cosine through a per-block union-find whose union step
    checks the two components' ACCUMULATED distinct signature sets —
@@ -168,27 +176,37 @@ def _merge_components(edges: pd.DataFrame, sigpd: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=cols)
 
 
-def semantic_cluster_merge(
+def _merge_mapping(
     clustered: DataFrame,
     doc_vecs: DataFrame,
     sigs: DataFrame,
     eligible: DataFrame,
-    config: PipelineConfig = DEFAULT_CONFIG,
+    config: PipelineConfig,
 ) -> DataFrame:
-    """One merge round over ``clustered`` (must carry block_key,
-    pub_id, cluster_id; other columns pass through).
+    """One merge round: (block_key, cluster_id, _merged) for every
+    cluster that appears in an ACCEPTED merge edge.
 
-    ``eligible``: (block_key, theta) — the blocks to consider and each
-    block's cosine threshold (callers derive it from tier + sparsity).
-    Returns ``clustered`` with ``cluster_id`` rewritten for merged
-    clusters (representative = the component id, deterministic).
+    Edge acceptance is the OR of three rules over centroid cosine
+    (``eligible`` carries the per-block knobs: theta, mfloor,
+    maxdoc_theta — a value > 1.0 disables that rule for the block):
+
+      theta:  cos >= theta (round-4 flat rule).
+      mutual: the two clusters are each other's top-1 partner, cos >=
+              mfloor, and the margin over both endpoints' second-best
+              clears semantic_merge_mutual_margin (the singleton
+              variant when either side is smaller than
+              semantic_merge_mutual_min_size). Relative evidence:
+              absolute cosine scales differ per block, mutual-top1 +
+              margin does not.
+      maxdoc: cos in [semantic_merge_maxdoc_floor, theta) and the best
+              MEMBER document pair clears maxdoc_theta.
+
+    Scale notes: the mutual rule ranks the SAME per-block pair frame
+    the theta rule already builds (two row_number windows keyed by
+    (block, cluster) — no new shuffle volume, cap^2 bounded); the
+    maxdoc member join fans out only pairs inside the [floor, theta)
+    cosine window, each bounded by the two member counts.
     """
-    # eligible is block-level (tiny at any scale); materialize it so
-    # its lineage — often shared with `clustered` via the traits frame
-    # — can't alias-collide with the centroid self-join below.
-    eligible = eligible.select(
-        F.col("block_key").alias("_ebk"), "theta"
-    ).localCheckpoint(eager=True)
     members = clustered.join(
         F.broadcast(eligible),
         clustered["block_key"] == eligible["_ebk"],
@@ -236,10 +254,143 @@ def semantic_cluster_merge(
                 / (F.col("a.cnorm") * F.col("b.cnorm"))
             ).alias("cos"),
             eligible["theta"],
+            eligible["mfloor"],
+            eligible["maxdoc_theta"],
         )
-        .where(F.col("cos") >= F.col("theta"))
-        .drop("theta")
     )
+
+    # --- mutual-top1 + margin (windows over the symmetrized frame) ---
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        "block_key", F.col("ca").alias("src"), F.col("cb").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            "block_key",
+            F.col("cb").alias("src"),
+            F.col("ca").alias("dst"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("block_key", "src").orderBy(
+        F.desc("cos"), F.asc("dst")
+    )
+    ranked = sym.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    top1 = ranked.where(F.col("rn") == 1).select(
+        "block_key", "src", F.col("dst").alias("best")
+    )
+    # a block with exactly two centroided clusters has no second-best:
+    # the replica convention (and the measured rule) treats the missing
+    # top-2 as -2.0, i.e. the margin always clears
+    top2 = ranked.where(F.col("rn") == 2).select(
+        "block_key", "src", F.col("cos").alias("second")
+    )
+    sizes = members.groupBy("block_key", "cluster_id").agg(
+        F.count("*").alias("sz")
+    )
+
+    cand = (
+        pairs.join(
+            top1.withColumnsRenamed({"src": "ca", "best": "_best_a"}),
+            ["block_key", "ca"],
+            "left",
+        )
+        .join(
+            top1.withColumnsRenamed({"src": "cb", "best": "_best_b"}),
+            ["block_key", "cb"],
+            "left",
+        )
+        .join(
+            top2.withColumnsRenamed({"src": "ca", "second": "_sec_a"}),
+            ["block_key", "ca"],
+            "left",
+        )
+        .join(
+            top2.withColumnsRenamed({"src": "cb", "second": "_sec_b"}),
+            ["block_key", "cb"],
+            "left",
+        )
+        .join(
+            sizes.withColumnsRenamed({"cluster_id": "ca", "sz": "_sz_a"}),
+            ["block_key", "ca"],
+        )
+        .join(
+            sizes.withColumnsRenamed({"cluster_id": "cb", "sz": "_sz_b"}),
+            ["block_key", "cb"],
+        )
+    )
+
+    # --- maxdoc (member-level best pair, [floor, theta) window only) ---
+    ndocs = (
+        members.join(
+            doc_vecs.select("block_key", "pub_id", "vec"),
+            ["block_key", "pub_id"],
+        )
+        .withColumn(
+            "_n",
+            F.sqrt(
+                F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "block_key",
+            "cluster_id",
+            F.transform("vec", lambda x: x / F.col("_n")).alias("nvec"),
+        )
+    )
+    md_window = pairs.where(
+        (F.col("maxdoc_theta") <= 1.0)
+        & (F.col("cos") < F.col("theta"))
+        & (F.col("cos") >= F.lit(config.semantic_merge_maxdoc_floor))
+    ).select("block_key", "ca", "cb")
+    da = ndocs.withColumnsRenamed({"cluster_id": "ca", "nvec": "_va"})
+    db = ndocs.withColumnsRenamed({"cluster_id": "cb", "nvec": "_vb"})
+    maxdoc = (
+        md_window.join(da, ["block_key", "ca"])
+        .join(db, ["block_key", "cb"])
+        .select(
+            "block_key",
+            "ca",
+            "cb",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_dot"),
+        )
+        .groupBy("block_key", "ca", "cb")
+        .agg(F.max("_dot").alias("_maxdoc"))
+    )
+    cand = cand.join(maxdoc, ["block_key", "ca", "cb"], "left")
+
+    margin = F.col("cos") - F.greatest(
+        F.coalesce(F.col("_sec_a"), F.lit(-2.0)),
+        F.coalesce(F.col("_sec_b"), F.lit(-2.0)),
+    )
+    need_margin = F.when(
+        (F.col("_sz_a") >= config.semantic_merge_mutual_min_size)
+        & (F.col("_sz_b") >= config.semantic_merge_mutual_min_size),
+        F.lit(config.semantic_merge_mutual_margin),
+    ).otherwise(F.lit(config.semantic_merge_mutual_margin_singleton))
+    accept = (
+        (F.col("cos") >= F.col("theta"))
+        | (
+            (F.col("maxdoc_theta") <= 1.0)
+            & (F.col("cos") >= F.lit(config.semantic_merge_maxdoc_floor))
+            & (F.coalesce(F.col("_maxdoc"), F.lit(-2.0))
+               >= F.col("maxdoc_theta"))
+        )
+        | (
+            (F.col("cos") >= F.col("mfloor"))
+            & (F.col("_best_a") == F.col("cb"))
+            & (F.col("_best_b") == F.col("ca"))
+            & (margin >= need_margin)
+        )
+    )
+    edges = cand.where(accept).select("block_key", "ca", "cb", "cos")
 
     # distinct per-cluster signatures — the union-find's constraint
     # input (given-name variants bound rows far below member counts)
@@ -255,18 +406,72 @@ def semantic_cluster_merge(
 
     # greedy by-cosine union-find with accumulated-signature checks,
     # one Arrow batch per block over cluster-level rows
-    mapping = (
-        pairs.groupBy("block_key")
+    return (
+        edges.groupBy("block_key")
         .cogroup(csigs.groupBy("block_key"))
         .applyInPandas(
             _merge_components,
             schema="block_key string, cluster_id string, _merged string",
         )
     )
-    return (
-        clustered.join(mapping, ["block_key", "cluster_id"], "left")
-        .withColumn(
-            "cluster_id", F.coalesce(F.col("_merged"), F.col("cluster_id"))
+
+
+def semantic_cluster_merge(
+    clustered: DataFrame,
+    doc_vecs: DataFrame,
+    sigs: DataFrame,
+    eligible: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Merge clusters of ``clustered`` (must carry block_key, pub_id,
+    cluster_id; other columns pass through) until fixpoint, capped at
+    ``config.semantic_merge_rounds`` rounds — centroids are recomputed
+    after each merge pass, so clusters joined in round 1 present a
+    sharper centroid to round 2 (measured: rafael alonso +0.155 F1
+    from the second round alone).
+
+    ``eligible``: (block_key, theta[, mfloor, maxdoc_theta]) — the
+    blocks to consider and each block's rule knobs (callers derive
+    them from tier + sparsity; missing columns default to "off", so a
+    plain (block_key, theta) frame reproduces the round-4 flat-theta
+    behavior). Returns ``clustered`` with ``cluster_id`` rewritten for
+    merged clusters (representative = the component id,
+    deterministic).
+    """
+    # eligible is block-level (tiny at any scale); materialize it so
+    # its lineage — often shared with `clustered` via the traits frame
+    # — can't alias-collide with the centroid self-join inside.
+    for col, off in (("mfloor", 2.0), ("maxdoc_theta", 2.0)):
+        if col not in eligible.columns:
+            eligible = eligible.withColumn(col, F.lit(off))
+    eligible = eligible.select(
+        F.col("block_key").alias("_ebk"), "theta", "mfloor", "maxdoc_theta"
+    ).localCheckpoint(eager=True)
+
+    # lazy-checkpoint the pub-level input: round 1's mapping job
+    # materializes it, so round 2 (and the caller's final action)
+    # re-reads stored partitions instead of recomputing the whole
+    # upstream pipeline once per round — the same per-round lineage
+    # truncation the CC loop uses.
+    out = clustered.localCheckpoint(eager=False)
+    for _ in range(max(1, config.semantic_merge_rounds)):
+        # the mapping is cluster-level (tiny); eager-checkpoint it so
+        # the fixpoint probe below doesn't recompute the round and the
+        # next round's lineage restarts from materialized rows
+        mapping = _merge_mapping(
+            out, doc_vecs, sigs, eligible, config
+        ).localCheckpoint(eager=True)
+        merged_any = not mapping.where(
+            F.col("cluster_id") != F.col("_merged")
+        ).isEmpty()
+        if not merged_any:
+            break
+        out = (
+            out.join(mapping, ["block_key", "cluster_id"], "left")
+            .withColumn(
+                "cluster_id",
+                F.coalesce(F.col("_merged"), F.col("cluster_id")),
+            )
+            .drop("_merged")
         )
-        .drop("_merged")
-    )
+    return out

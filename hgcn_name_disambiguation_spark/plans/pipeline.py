@@ -313,11 +313,31 @@ def _semantic_merge_stage(
         .when(F.col("tier") == "common", F.lit(config.semantic_merge_theta_common))
         .otherwise(F.lit(config.semantic_merge_theta_amb))
     )
+    mfloor = (
+        F.when(
+            F.col("tier") == "rare",
+            F.lit(config.semantic_merge_mutual_floor_rare),
+        )
+        .when(
+            F.col("tier") == "common",
+            F.lit(config.semantic_merge_mutual_floor_common),
+        )
+        .otherwise(F.lit(config.semantic_merge_mutual_floor_amb))
+    )
+    maxdoc_theta = F.when(
+        F.col("tier") == "amb",
+        F.lit(config.semantic_merge_maxdoc_theta_amb),
+    ).otherwise(F.lit(2.0))
     eligible = (
         ctx.traits.where(F.col("sparse"))
         .withColumn("theta", theta)
-        .where(F.col("theta") <= 1.0)
-        .select("block_key", "theta")
+        .withColumn("mfloor", mfloor)
+        .withColumn("maxdoc_theta", maxdoc_theta)
+        # a block is eligible when ANY rule is live for its tier
+        .where(
+            F.least("theta", "mfloor", "maxdoc_theta") <= 1.0
+        )
+        .select("block_key", "theta", "mfloor", "maxdoc_theta")
     )
     # one scalar action over the block-level frame — bounded by the
     # number of blocks, never by rows

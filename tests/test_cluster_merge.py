@@ -189,3 +189,142 @@ def test_pipeline_gate_sparse_block_merges(spark, monkeypatch):
     # p1/p2 share topic tokens -> merged; p3 (different topic) alone
     assert frozenset({"p1", "p2"}) in clusters
     assert frozenset({"p3"}) in clusters
+
+
+def _eligible(spark, rows):
+    return spark.createDataFrame(
+        rows, "block_key string, theta double, mfloor double, maxdoc_theta double"
+    )
+
+
+def test_mutual_margin_merges_below_theta(spark):
+    """Round-5 mutual rule in isolation (theta + maxdoc off): c1/c2
+    are each other's top-1 with a wide margin over their second-best
+    (c3 is orthogonal), so they merge even though no flat theta is
+    live."""
+    clustered = spark.createDataFrame(
+        [("b", "p1", "c1"), ("b", "p2", "c1"),
+         ("b", "p3", "c2"), ("b", "p4", "c2"),
+         ("b", "p5", "c3"), ("b", "p6", "c3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    doc_vecs = spark.createDataFrame(
+        [("b", "p1", [1.0, 0.0, 0.0]), ("b", "p2", [1.0, 0.0, 0.0]),
+         ("b", "p3", [0.95, 0.312, 0.0]), ("b", "p4", [0.95, 0.312, 0.0]),
+         ("b", "p5", [0.0, 0.0, 1.0]), ("b", "p6", [0.0, 0.0, 1.0])],
+        ["block_key", "pub_id", "vec"],
+    )
+    sigs = spark.createDataFrame(
+        [("b", p, None) for p in ["p1", "p2", "p3", "p4", "p5", "p6"]],
+        "block_key string, pub_id string, sig array<string>",
+    )
+    eligible = _eligible(spark, [("b", 2.0, 0.55, 2.0)])
+    got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
+    assert frozenset({"p1", "p2", "p3", "p4"}) in got
+    assert frozenset({"p5", "p6"}) in got
+
+
+def test_mutual_singleton_needs_larger_margin(spark):
+    """A mutual pair involving a singleton cluster needs the stricter
+    semantic_merge_mutual_margin_singleton (0.30): margin 0.20 is
+    vetoed (block b1), margin 0.50 merges (block b2)."""
+    clustered = spark.createDataFrame(
+        [("b1", "p1", "c1"), ("b1", "p2", "c1"), ("b1", "p3", "c2"),
+         ("b1", "p4", "c3"), ("b1", "p5", "c3"),
+         ("b2", "q1", "d1"), ("b2", "q2", "d1"), ("b2", "q3", "d2"),
+         ("b2", "q4", "d3"), ("b2", "q5", "d3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    doc_vecs = spark.createDataFrame(
+        [
+            # b1: cos(c1,c2)=.8, cos(c1,c3)=.6, cos(c2,c3)=.48
+            # -> mutual margin .8-.6=.2 < .30 and c2 is a singleton
+            ("b1", "p1", [1.0, 0.0, 0.0]), ("b1", "p2", [1.0, 0.0, 0.0]),
+            ("b1", "p3", [0.8, 0.6, 0.0]),
+            ("b1", "p4", [0.6, 0.0, 0.8]), ("b1", "p5", [0.6, 0.0, 0.8]),
+            # b2: cos(d1,d2)=.8, cos(d1,d3)=.3, cos(d2,d3)=.24
+            # -> margin .8-.3=.5 >= .30 -> singleton d2 merges
+            ("b2", "q1", [1.0, 0.0, 0.0]), ("b2", "q2", [1.0, 0.0, 0.0]),
+            ("b2", "q3", [0.8, 0.6, 0.0]),
+            ("b2", "q4", [0.3, 0.0, 0.954]), ("b2", "q5", [0.3, 0.0, 0.954]),
+        ],
+        ["block_key", "pub_id", "vec"],
+    )
+    sigs = spark.createDataFrame(
+        [("b1", p, None) for p in ["p1", "p2", "p3", "p4", "p5"]]
+        + [("b2", q, None) for q in ["q1", "q2", "q3", "q4", "q5"]],
+        "block_key string, pub_id string, sig array<string>",
+    )
+    eligible = _eligible(
+        spark, [("b1", 2.0, 0.55, 2.0), ("b2", 2.0, 0.55, 2.0)]
+    )
+    got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
+    assert frozenset({"p1", "p2"}) in got          # b1: vetoed
+    assert frozenset({"p3"}) in got
+    assert frozenset({"q1", "q2", "q3"}) in got    # b2: merged
+
+
+def test_maxdoc_rescues_blurred_centroids(spark):
+    """Round-5 maxdoc rule: the centroid cosine sits below theta
+    (0.916 < 0.95) because c1 spans two topics, but one member pair
+    (p1, p3) is near-identical (cos 0.9988 >= 0.92), so the clusters
+    merge; c3 stays below the maxdoc floor window entirely."""
+    clustered = spark.createDataFrame(
+        [("b", "p1", "c1"), ("b", "p2", "c1"),
+         ("b", "p3", "c2"), ("b", "p4", "c3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    doc_vecs = spark.createDataFrame(
+        [("b", "p1", [1.0, 0.0]), ("b", "p2", [0.6, 0.8]),
+         ("b", "p3", [1.0, 0.05]), ("b", "p4", [0.0, 1.0])],
+        ["block_key", "pub_id", "vec"],
+    )
+    sigs = spark.createDataFrame(
+        [("b", p, None) for p in ["p1", "p2", "p3", "p4"]],
+        "block_key string, pub_id string, sig array<string>",
+    )
+    eligible = _eligible(spark, [("b", 0.95, 2.0, 0.92)])
+    got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
+    assert frozenset({"p1", "p2", "p3"}) in got
+    assert frozenset({"p4"}) in got
+
+
+def test_second_round_reaches_fixpoint(spark):
+    """semantic_merge_rounds: round 1 merges the mutual pair c1/c2
+    (c3's top-1 is c2, not mutual); with only two clusters left, round
+    2 makes c12/c3 trivially mutual (no second-best) and cos >= floor,
+    so everything converges — while rounds=1 leaves c3 unmerged."""
+    import dataclasses
+
+    from hgcn_name_disambiguation_spark.config import DEFAULT_CONFIG
+
+    clustered = spark.createDataFrame(
+        [("b", "p1", "c1"), ("b", "p2", "c1"),
+         ("b", "p3", "c2"), ("b", "p4", "c2"),
+         ("b", "p5", "c3"), ("b", "p6", "c3")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    # cos(c1,c2)=.95, cos(c1,c3)=.6, cos(c2,c3)=.65
+    doc_vecs = spark.createDataFrame(
+        [("b", "p1", [1.0, 0.0, 0.0]), ("b", "p2", [1.0, 0.0, 0.0]),
+         ("b", "p3", [0.95, 0.312, 0.0]), ("b", "p4", [0.95, 0.312, 0.0]),
+         ("b", "p5", [0.6, 0.2564, 0.7578]),
+         ("b", "p6", [0.6, 0.2564, 0.7578])],
+        ["block_key", "pub_id", "vec"],
+    )
+    sigs = spark.createDataFrame(
+        [("b", p, None) for p in ["p1", "p2", "p3", "p4", "p5", "p6"]],
+        "block_key string, pub_id string, sig array<string>",
+    )
+    eligible = _eligible(spark, [("b", 2.0, 0.55, 2.0)])
+    got = _clusters(semantic_cluster_merge(clustered, doc_vecs, sigs, eligible))
+    assert frozenset({"p1", "p2", "p3", "p4", "p5", "p6"}) in got
+
+    one_round = dataclasses.replace(DEFAULT_CONFIG, semantic_merge_rounds=1)
+    got1 = _clusters(
+        semantic_cluster_merge(
+            clustered, doc_vecs, sigs, eligible, config=one_round
+        )
+    )
+    assert frozenset({"p1", "p2", "p3", "p4"}) in got1
+    assert frozenset({"p5", "p6"}) in got1
