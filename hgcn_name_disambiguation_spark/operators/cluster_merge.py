@@ -448,23 +448,30 @@ def semantic_cluster_merge(
         F.col("block_key").alias("_ebk"), "theta", "mfloor", "maxdoc_theta"
     ).localCheckpoint(eager=True)
 
+    # doc_vecs' lineage embeds the tokenize/IDF/word2vec transform;
+    # every mapping round reads it twice (centroids + the maxdoc
+    # member join), so truncate it once — stored partitions, computed
+    # on first use, reused by every later consumer.
+    doc_vecs = doc_vecs.localCheckpoint(eager=False)
+
     # lazy-checkpoint the pub-level input: round 1's mapping job
     # materializes it, so round 2 (and the caller's final action)
     # re-reads stored partitions instead of recomputing the whole
     # upstream pipeline once per round — the same per-round lineage
     # truncation the CC loop uses.
     out = clustered.localCheckpoint(eager=False)
+    live = eligible
     for _ in range(max(1, config.semantic_merge_rounds)):
         # the mapping is cluster-level (tiny); eager-checkpoint it so
         # the fixpoint probe below doesn't recompute the round and the
         # next round's lineage restarts from materialized rows
         mapping = _merge_mapping(
-            out, doc_vecs, sigs, eligible, config
+            out, doc_vecs, sigs, live, config
         ).localCheckpoint(eager=True)
-        merged_any = not mapping.where(
+        touched = mapping.where(
             F.col("cluster_id") != F.col("_merged")
-        ).isEmpty()
-        if not merged_any:
+        ).select(F.col("block_key").alias("_ebk")).distinct()
+        if touched.isEmpty():
             break
         out = (
             out.join(mapping, ["block_key", "cluster_id"], "left")
@@ -473,5 +480,12 @@ def semantic_cluster_merge(
                 F.coalesce(F.col("_merged"), F.col("cluster_id")),
             )
             .drop("_merged")
+        )
+        # a block with no accepted edge this round has identical
+        # centroids/pairs next round and would map to the same empty
+        # result — restrict the next pass to blocks that merged, so
+        # round 2+ costs scale with the merge frontier, not the corpus
+        live = live.join(touched, "_ebk", "semi").localCheckpoint(
+            eager=True
         )
     return out
