@@ -13,11 +13,11 @@ building, fusion, or clustering show up as hard failures:
 
 - XML ingestion parses every publication of every block bit-true
   (sha256 invariant vs the original reference bytes),
-- unsupervised CC path:   macro precision >= 0.84, F1 >= 0.74 on the
-  22-block subset (round-5 defaults measured 0.8489 / 0.7487 there —
-  rescue-off + amb-tier semantic merge theta 0.90; full 114-block
-  corpus: P 0.9258, F1 0.8322, zero blocks regressing > 0.02 vs the
-  round-4 defaults),
+- unsupervised CC path:   macro precision >= 0.84, F1 >= 0.75 on the
+  22-block subset (round-5 defaults measured 0.8474 / 0.7555 there —
+  rescue-off, amb-tier semantic merge theta 0.90, mutual-top1+margin
+  / maxdoc rules, 2-round fixpoint; full 114-block corpus: P 0.9253,
+  F1 0.8398, every round-5 step zero blocks regressing > 0.02),
 - fixed-k GHAC parity:    macro F1 >= 0.73 on the subset (measured
   0.758 there; the subset run has no doc_vecs, so the round-4
   capture-selection menu is structural-only and measures the same as
@@ -101,7 +101,7 @@ def test_cc_path_floor(result):
         F.avg("precision").alias("p"), F.avg("f1").alias("f")
     ).first()
     assert m.p >= 0.84, f"macro precision regressed: {m.p:.4f}"
-    assert m.f >= 0.74, f"macro F1 regressed: {m.f:.4f}"
+    assert m.f >= 0.75, f"macro F1 regressed: {m.f:.4f}"
 
 
 def test_ghac_fixed_k_floor(result):
