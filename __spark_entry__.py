@@ -2330,6 +2330,144 @@ LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q51_cluster_assignment(spark, sf):
+    """Incremental cluster ASSIGNMENT (operators/assign.py): attribute
+    held-out 'new' documents (doc_id % 10 == 0) to a clustered
+    snapshot of the rest (synthetic deterministic clusters doc_id % 5,
+    the q17 pattern — the ASSIGNMENT logic is under test, not the
+    upstream clustering). Channels mirror the F7 fusion: shared
+    coauthor (A), snapshot-idf title cosine (T), shared venue (V),
+    fused (5A+1T+4V)/10, per-pub argmax with ties toward the greatest
+    cluster_id, NULL below assign_threshold. Output carries no DOUBLE
+    (the q42/q50 lesson): block_key, doc_id, cluster_id only."""
+    from hgcn_name_disambiguation_spark.operators.assign import (
+        assign_to_clusters,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs).withColumn(
+        "_did", F.col("pub_id").cast("long")
+    )
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    snap = (
+        pubs.where(F.col("_did") % 10 != 0)
+        .withColumn("cluster_id", F.col("_did") % 5)
+        .drop("_did")
+    )
+    new = pubs.where(F.col("_did") % 10 == 0).drop("_did")
+    out = assign_to_clusters(new, snap, cfg)
+    return out.select(
+        "block_key",
+        F.col("pub_id").cast("long").alias("doc_id"),
+        "cluster_id",
+    )
+
+
+Q51_SQL = r"""
+WITH pubs AS (
+  SELECT lang AS block_key, CAST(doc_id AS VARCHAR) AS pub_id,
+         doc_id AS did, text, source
+  FROM documents),
+toks AS (
+  SELECT DISTINCT block_key, pub_id, did, tok FROM (
+    SELECT block_key, pub_id, did,
+           unnest(string_split(trim(regexp_replace(lower(regexp_replace(
+             text, '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~—～]+', ' ', 'g')),
+             '\s+', ' ', 'g')), ' ')) AS tok
+    FROM pubs)
+  WHERE length(tok) > 1 AND tok NOT IN (
+    'at','based','in','of','for','on','and','to','an','using','with',
+    'the','method','algrithom','by','model')),
+snap AS (SELECT *, did % 5 AS cluster_id FROM pubs WHERE did % 10 != 0),
+newp AS (SELECT * FROM pubs WHERE did % 10 = 0),
+nblk AS (SELECT block_key, COUNT(*) AS n_block FROM snap GROUP BY 1),
+stoks AS (
+  SELECT t.block_key, t.pub_id, t.tok, s.cluster_id
+  FROM toks t JOIN snap s USING (block_key, pub_id)),
+dfreq AS (
+  SELECT block_key, tok, COUNT(DISTINCT pub_id) AS df
+  FROM stoks GROUP BY 1, 2),
+bidf AS (
+  SELECT d.block_key, d.tok, ln((n.n_block + 1.0) / d.df) AS idf, d.df
+  FROM dfreq d JOIN nblk n USING (block_key)),
+ctoks AS (
+  SELECT DISTINCT s.block_key, s.tok, s.cluster_id, b.idf
+  FROM stoks s JOIN bidf b USING (block_key, tok)
+  WHERE b.df <= 40),
+cnorm AS (
+  SELECT block_key, cluster_id, sqrt(SUM(idf * idf)) AS c_norm
+  FROM ctoks GROUP BY 1, 2),
+-- hot-key-capped (<= 64 clusters) coauthor/venue candidate indexes;
+-- authors == venues == source in the documents mapping
+akeys AS (
+  SELECT DISTINCT block_key, source, cluster_id FROM snap),
+acap AS (
+  SELECT block_key, source FROM akeys
+  GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+aidx AS (
+  SELECT k.* FROM akeys k JOIN acap USING (block_key, source)),
+vkeys AS (
+  SELECT DISTINCT block_key, source, cluster_id FROM snap
+  WHERE lower(COALESCE(source, '')) NOT IN ('','null','none','unknown')),
+vcap AS (
+  SELECT block_key, source FROM vkeys
+  GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+vidx AS (
+  SELECT k.* FROM vkeys k JOIN vcap USING (block_key, source)),
+ntoks AS (
+  SELECT t.block_key, t.pub_id, t.tok,
+         COALESCE(b.idf, ln(COALESCE(n.n_block, 0) + 1.0)) AS idf
+  FROM (SELECT tk.* FROM toks tk JOIN newp USING (block_key, pub_id)) t
+  LEFT JOIN bidf b USING (block_key, tok)
+  LEFT JOIN nblk n USING (block_key)
+  WHERE b.df IS NULL OR b.df <= 40),
+pnorm AS (
+  SELECT block_key, pub_id, sqrt(SUM(idf * idf)) AS p_norm
+  FROM ntoks GROUP BY 1, 2),
+shared AS (
+  SELECT t.block_key, t.pub_id, c.cluster_id,
+         SUM(t.idf * t.idf) AS shared_mass
+  FROM ntoks t JOIN ctoks c USING (block_key, tok)
+  GROUP BY 1, 2, 3),
+tchan AS (
+  SELECT s.block_key, s.pub_id, s.cluster_id,
+         CASE WHEN p.p_norm > 0 AND c.c_norm > 0
+              THEN s.shared_mass / (p.p_norm * c.c_norm)
+              ELSE 0.0 END AS t
+  FROM shared s
+  JOIN pnorm p USING (block_key, pub_id)
+  JOIN cnorm c USING (block_key, cluster_id)),
+achan AS (
+  SELECT DISTINCT n.block_key, n.pub_id, a.cluster_id, 1.0 AS a
+  FROM newp n JOIN aidx a USING (block_key, source)),
+vchan AS (
+  SELECT DISTINCT n.block_key, n.pub_id, v.cluster_id, 1.0 AS v
+  FROM newp n JOIN vidx v USING (block_key, source)),
+cand AS (
+  SELECT block_key, pub_id, cluster_id FROM achan
+  UNION SELECT block_key, pub_id, cluster_id FROM vchan
+  UNION SELECT block_key, pub_id, cluster_id FROM tchan),
+scored AS (
+  SELECT c.block_key, c.pub_id, c.cluster_id,
+         (5.0 * COALESCE(a.a, 0.0) + 1.0 * COALESCE(t.t, 0.0)
+          + 4.0 * COALESCE(v.v, 0.0)) / 10.0 AS fused
+  FROM cand c
+  LEFT JOIN achan a USING (block_key, pub_id, cluster_id)
+  LEFT JOIN vchan v USING (block_key, pub_id, cluster_id)
+  LEFT JOIN tchan t USING (block_key, pub_id, cluster_id)),
+best AS (
+  SELECT block_key, pub_id, cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY block_key, pub_id
+      ORDER BY fused DESC, cluster_id DESC) AS rnk
+    FROM scored WHERE fused >= 0.20)
+  WHERE rnk = 1)
+SELECT n.block_key, n.did AS doc_id, b.cluster_id
+FROM newp n
+LEFT JOIN best b USING (block_key, pub_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2382,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pii_redaction": q48_pii_redaction,
         "q49_walk_training_pairs": q49_walk_training_pairs,
         "q50_bigram_logprob": q50_bigram_logprob,
+        "q51_cluster_assignment": q51_cluster_assignment,
     }
 
 
@@ -2447,4 +2586,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_pii_redaction": _q48_sql(),
         "q49_walk_training_pairs": _q49_sql(),
         "q50_bigram_logprob": Q50_SQL,
+        "q51_cluster_assignment": Q51_SQL,
     }

@@ -311,6 +311,20 @@ class PipelineConfig:
     # under the cap, so the default fit is byte-identical to round 4.
     w2v_max_fit_sentences: int = 1_000_000
 
+    # --- incremental cluster assignment (operators/assign.py) ---
+    # fused-score floor for attributing a NEW pub to an existing
+    # cluster; below it the pub stays unassigned (NULL) until the next
+    # full resolution. Same default as match_threshold: one shared
+    # coauthor (0.5) or venue (0.4) assigns, title alone must be a
+    # near-duplicate.
+    assign_threshold: float = 0.20
+    # snapshot authors/venues present in more than this many clusters
+    # of one block are dropped from the candidate index — they carry
+    # no identity signal and their fan-out is what would break the
+    # stream-static join at 10^12 scale (the hot-token-cap idea
+    # applied to the assignment keys).
+    assign_hot_key_clusters: int = 64
+
     # --- misc ---
     stopwords: tuple[str, ...] = field(default=RAW_STOPWORDS)
     venue_null_values: tuple[str, ...] = ("", "null", "none", "unknown")

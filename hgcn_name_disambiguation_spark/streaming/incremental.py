@@ -273,3 +273,78 @@ class IncrementalDisambiguator:
 
     def clusters(self) -> DataFrame:
         return self.spark.read.parquet(self._clusters_path())
+
+
+class StreamingClusterAssigner:
+    """foreachBatch incremental cluster ASSIGNMENT: attribute each
+    micro-batch of new repo_files rows to an existing clustered
+    snapshot (``operators/assign.py``) without re-clustering — the
+    bounded-latency complement to :class:`IncrementalDisambiguator`
+    (which re-resolves touched blocks and is the heavier, exact path).
+
+    The snapshot-side candidate indexes (coauthor/venue/token-idf
+    profiles) are built ONCE at construction and persisted, so every
+    micro-batch pays only the stream-static equi-joins + two hash
+    aggregates of ``assign_to_clusters``.
+
+    Why foreachBatch and not a pure streaming plan: the title channel
+    normalizes by a per-pub idf norm and then argmaxes per (pub,
+    cluster) — two chained aggregations, which Structured Streaming
+    cannot run in one query (chained stateful aggs are unsupported in
+    update mode). Inside foreachBatch each micro-batch is a plain
+    DataFrame, so batch and stream agree BY CONSTRUCTION (asserted in
+    tests). A stateless stream-static variant is possible for the
+    coauthor/venue channels alone (single agg); it is deliberately not
+    shipped — silently dropping the title channel would change what
+    "assigned" means between batch and stream.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        clustered: DataFrame,
+        out_dir: str,
+        config: PipelineConfig = DEFAULT_CONFIG,
+    ):
+        from ..operators.assign import cluster_profiles
+
+        self.spark = spark
+        self.config = config
+        self.out_dir = out_dir
+        self.profiles = {
+            name: df.persist() for name, df in
+            cluster_profiles(clustered, config).items()
+        }
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.assign import score_against_clusters
+
+        new_pubs = parse_publications(
+            batch_df, self.config, observe_name=None
+        )
+        scored = score_against_clusters(new_pubs, self.profiles, self.config)
+        best = (
+            scored.where(F.col("fused") >= self.config.assign_threshold)
+            .groupBy("block_key", "pub_id")
+            .agg(F.max(F.struct("fused", "cluster_id")).alias("_best"))
+            .select(
+                "block_key",
+                "pub_id",
+                F.col("_best.cluster_id").alias("cluster_id"),
+                F.col("_best.fused").alias("fused"),
+            )
+        )
+        assigned = new_pubs.select("block_key", "pub_id").join(
+            best, ["block_key", "pub_id"], "left"
+        )
+        assigned.write.mode("append").parquet(f"{self.out_dir}/assignments")
+
+    def attach(self, stream_df: DataFrame):
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .outputMode("append")
+            .option("checkpointLocation", f"{self.out_dir}/_checkpoint")
+        )
+
+    def assignments(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/assignments")
