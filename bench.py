@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q48_pii_redaction",
     # round-4 LM quality scoring (corpus bigram model)
     "q50_bigram_logprob",
+    # round-5 incremental cluster assignment (snapshot profiles +
+    # stream-static candidate joins + one max(struct) argmax agg)
+    "q51_cluster_assignment",
 ]
 
 
