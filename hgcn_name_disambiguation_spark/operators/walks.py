@@ -153,7 +153,12 @@ def metapath_walks(
         # both reads land in ONE action, so Catalyst's ReuseExchange
         # dedupes the step's shuffle — no O(L^2) recompute. Per-step
         # localCheckpoint (separate jobs per step) measured 1.6x
-        # SLOWER than this single-DAG form at sf0.1.
+        # SLOWER than this single-DAG form at sf0.1. A sort-free
+        # variant (hash agg collect_list + sort_array + two dst-ordered
+        # array folds — md5-identical output) measured -36% at sf0.01
+        # but a WASH-to-worse at sf0.1 (medians 14.7s window vs 15.2s
+        # fold, paired idle-host repeats): at bench scale the join
+        # exchange dominates, not the window sort. Kept the window.
         wcum = Window.partitionBy("block_key", "walk_id").orderBy("dst")
         wall = Window.partitionBy("block_key", "walk_id")
         cur = (
