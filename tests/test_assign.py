@@ -252,3 +252,35 @@ def test_streaming_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_assignment_partitioning_invariance(spark, tiny):
+    """The assignment is a pure function of the DATA: repartitioning
+    either side (and scrambling row order) must not change any
+    (pub, cluster, fused) — the determinism property the max(struct)
+    tie-break and the hash-free scoring exist to guarantee."""
+    new = spark.createDataFrame(
+        [
+            _pub("b", "n1", ["alpha", "zeta"], ["ann"], "vX"),
+            _pub("b", "n2", ["gamma"], ["bob"], "v2"),
+            _pub("b", "n3", ["omega"], ["nobody"], "vY"),
+        ],
+        PUB_SCHEMA,
+    )
+    base = sorted(
+        (r.block_key, r.pub_id, r.cluster_id, None if r.fused is None
+         else round(r.fused, 12))
+        for r in assign_to_clusters(new, tiny, DEFAULT_CONFIG).collect()
+    )
+    scrambled = sorted(
+        (r.block_key, r.pub_id, r.cluster_id, None if r.fused is None
+         else round(r.fused, 12))
+        for r in assign_to_clusters(
+            new.repartition(7, "pub_id").sortWithinPartitions(
+                F.desc("pub_id")
+            ),
+            tiny.repartition(5).sortWithinPartitions(F.desc("pub_id")),
+            DEFAULT_CONFIG,
+        ).collect()
+    )
+    assert base == scrambled
