@@ -2468,6 +2468,47 @@ LEFT JOIN best b USING (block_key, pub_id)
 """
 
 
+def q52_neardup_keep_list(spark, sf):
+    """Near-dup canonicalization — the keep-list a pretraining-corpus
+    dedup ships: MinHash+LSH pairs (q31's md5 oracle mode) resolved
+    through large-star/small-star CC into one row per document
+    (doc_id, keep_id, is_canonical); singletons keep themselves.
+    Oracle: the q31 pair SQL wrapped in a recursive-CTE closure (the
+    q18 pattern) + numeric-min canonical per component."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        canonical_keep_list,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5, hash_mode="md5"
+    )
+    return canonical_keep_list(docs, pairs)
+
+
+Q52_SQL = (
+    "WITH RECURSIVE pairs AS (" + _q19_sql() + """),
+bi AS (
+  SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b FROM pairs
+  UNION ALL
+  SELECT CAST(id_b AS VARCHAR) AS a, CAST(id_a AS VARCHAR) AS b FROM pairs),
+nodes AS (SELECT CAST(doc_id AS VARCHAR) AS a, doc_id FROM documents),
+reach(a, b) AS (
+  SELECT a, a FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+comp AS (SELECT a, MIN(b) AS comp_id FROM reach GROUP BY 1),
+keep AS (
+  SELECT c.comp_id, MIN(n.doc_id) AS keep_id
+  FROM comp c JOIN nodes n ON n.a = c.a GROUP BY 1)
+SELECT n.doc_id, k.keep_id, n.doc_id = k.keep_id AS is_canonical
+FROM nodes n
+JOIN comp c ON c.a = n.a
+JOIN keep k ON k.comp_id = c.comp_id
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2521,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_walk_training_pairs": q49_walk_training_pairs,
         "q50_bigram_logprob": q50_bigram_logprob,
         "q51_cluster_assignment": q51_cluster_assignment,
+        "q52_neardup_keep_list": q52_neardup_keep_list,
     }
 
 
@@ -2587,4 +2629,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_walk_training_pairs": _q49_sql(),
         "q50_bigram_logprob": Q50_SQL,
         "q51_cluster_assignment": Q51_SQL,
+        "q52_neardup_keep_list": Q52_SQL,
     }

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     # round-5 incremental cluster assignment (snapshot profiles +
     # stream-static candidate joins + one max(struct) argmax agg)
     "q51_cluster_assignment",
+    # round-5 near-dup canonicalization: LSH pairs resolved through
+    # large-star/small-star CC into a per-doc keep-list
+    "q52_neardup_keep_list",
 ]
 
 

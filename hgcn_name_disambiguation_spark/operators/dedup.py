@@ -635,3 +635,39 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+def canonical_keep_list(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into the keep-list a pretraining-corpus
+    dedup actually ships: one row per document — (doc_id, keep_id,
+    is_canonical) — where keep_id is the smallest doc_id of the
+    document's near-dup component and singletons keep themselves.
+
+    Composes any pair emitter (minhash_lsh_pairs / simhash_pairs /
+    ngram_jaccard_pairs / embedding near-dup) with the engine's
+    large-star/small-star CC; the canonical choice is re-derived as
+    the NUMERIC min over the component (component ids are min STRING
+    node — '10' < '9' lexicographically — so the representative is
+    recomputed, not reused). Filter is_canonical to materialize the
+    deduplicated corpus; join keep_id to attribute dropped docs.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    ids = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("_node"),
+    )
+    with_comp = ids.join(comp, ids["_node"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "_node").alias("_comp")
+    )
+    keep = with_comp.groupBy("_comp").agg(F.min("doc_id").alias("keep_id"))
+    return with_comp.join(keep, "_comp").select(
+        "doc_id",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+    )

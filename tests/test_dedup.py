@@ -212,3 +212,31 @@ def test_simhash_md5_mode(spark):
         ).collect()
     }
     assert (0, 1) in pairs and (0, 6) in pairs
+
+
+def test_canonical_keep_list_chain_and_singleton(spark):
+    """Transitive chain (1-2, 2-3) collapses to keep_id 1; the
+    untouched doc 4 keeps itself; numeric min wins even where the
+    string min differs ('10' < '9' lexicographically)."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        canonical_keep_list,
+    )
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (9,), (10,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.keep_id, r.is_canonical)
+        for r in canonical_keep_list(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        9: (9, True),
+        10: (9, False),
+    }
