@@ -2509,6 +2509,47 @@ JOIN keep k ON k.comp_id = c.comp_id
 )
 
 
+def q53_dup_span_stats(spark, sf):
+    """Exact duplicated-substring spans (Lee et al. 2022): token
+    8-grams occurring >= 2 times anywhere in the corpus mark their
+    positions duplicated; overlapping hits merge into spans. Integer-
+    only output (token counts, never a rounded DOUBLE)."""
+    from hgcn_name_disambiguation_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf, "documents"), k=8, min_count=2)
+
+
+Q53_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents),
+sized AS (SELECT doc_id, len(t) AS n_tokens, t FROM base),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM sized, LATERAL (SELECT unnest(range(1, n_tokens - 8 + 2)) AS i) u
+  WHERE n_tokens >= 8),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_grams,
+         sum(8 - greatest(0, coalesce(prev_end - pos, 0))) AS dup_tokens
+  FROM cov GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(a.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN coalesce(a.dup_tokens, 0) > 0 THEN 1 ELSE 0 END
+         AS has_dup_span
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2563,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_bigram_logprob": q50_bigram_logprob,
         "q51_cluster_assignment": q51_cluster_assignment,
         "q52_neardup_keep_list": q52_neardup_keep_list,
+        "q53_dup_span_stats": q53_dup_span_stats,
     }
 
 
@@ -2630,4 +2672,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_bigram_logprob": Q50_SQL,
         "q51_cluster_assignment": Q51_SQL,
         "q52_neardup_keep_list": Q52_SQL,
+        "q53_dup_span_stats": Q53_SQL,
     }

@@ -671,3 +671,95 @@ def canonical_keep_list(
         "keep_id",
         (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING span statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): a token k-gram occurring >= min_count times
+    anywhere in the corpus (across docs OR repeated within one) marks
+    its k token positions as duplicated; overlapping hits are merged
+    into spans before counting.
+
+    Returns one row per input doc, integer-only (hash-stable across
+    engines): (doc_id, n_tokens, n_dup_grams, dup_tokens,
+    has_dup_span) where dup_tokens = tokens covered by the merged
+    duplicated spans. Filter/trim on dup_tokens to approximate the
+    suffix-array span removal of the paper without a suffix array —
+    the k-gram formulation loses only duplicates shorter than k.
+
+    Scale shape (no Python UDFs, 3 shuffles):
+      1. gram emission is NARROW: transform+slice over the token
+         array, ~n_tokens rows/doc (same order as the q44 tokenizer);
+      2. duplicate detection is ONE map-side-combined count shuffle
+         keyed by the gram (with hash_grams=True the key is
+         xxhash64(gram): ~6x fewer shuffle bytes than ~50-char gram
+         strings at 100 TB, collision odds ~n^2/2^65 — at 10^12 grams
+         that's a ~3% chance of ONE false span corpus-wide);
+      3. the hit join reuses the same key (AQE broadcasts the dup
+         side when small), then one window+agg shuffle on doc_id.
+    Span merging is a running-max window, never an interval list in
+    driver memory.
+    """
+    from pyspark.sql import Window as _W
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"), toks.alias("t")
+    )
+    grams_arr = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    grams = base.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "gram")
+    ).select("doc_id", "pos", key.alias("gkey"))
+    dup = (
+        grams.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gkey")
+    )
+    hits = grams.join(dup, "gkey").select("doc_id", "pos")
+    # merged-interval coverage: intervals are equal-length [pos, pos+k),
+    # so sorted by pos they are sorted by end too; each hit contributes
+    # k minus its overlap with the running max end of earlier hits.
+    w = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    cov = hits.select(
+        "doc_id", "pos", F.max(F.col("pos") + k).over(w).alias("prev_end")
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum(
+            F.lit(k)
+            - F.greatest(
+                F.lit(0), F.coalesce(F.col("prev_end") - F.col("pos"), F.lit(0))
+            )
+        ).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (F.coalesce(F.col("dup_tokens"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("has_dup_span"),
+        )
+    )

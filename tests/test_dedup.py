@@ -240,3 +240,62 @@ def test_canonical_keep_list_chain_and_singleton(spark):
         9: (9, True),
         10: (9, False),
     }
+
+def test_dup_span_stats_hand_computed(spark):
+    """k=3 grams over tiny docs: 'a b c' appears in docs 1 and 2
+    (cross-doc dup); doc 3 repeats 'x y z' twice internally with the
+    bridging grams also duplicated-free; doc 4 is too short; doc 5 has
+    no duplicated gram. Overlapping hits merge into spans."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "z z a b c"),
+            (3, "x y z x y z"),
+            (4, "a b"),
+            (5, "p q r s"),
+            (6, "a b c d"),
+            (7, "b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_grams, r.dup_tokens, r.has_dup_span)
+        for r in dup_span_stats(docs, k=3, min_count=2).collect()
+    }
+    # doc 1: 'a b c' (also docs 2/6), 'b c d' (6/7), 'c d e' (7) ->
+    # hits 0/1/2 merge into one span covering all 5 tokens
+    assert out[1] == (5, 3, 5, 1)
+    # doc 2: 'a b c' at pos 2 -> 3 tokens
+    assert out[2] == (5, 1, 3, 1)
+    # doc 3: 'x y z' at pos 0 and 3 appear twice corpus-wide; the
+    # bridging grams 'y z x' / 'z x y' appear once each -> hits at
+    # pos 0 and 3, spans [0,3)+[3,6) adjacent, 6 tokens covered
+    assert out[3] == (6, 2, 6, 1)
+    # doc 4: shorter than k -> no grams
+    assert out[4] == (2, 0, 0, 0)
+    assert out[5] == (4, 0, 0, 0)
+    # doc 6: 'a b c' (docs 1/2/6) at pos 0 and 'b c d' (docs 6/7) at
+    # pos 1 OVERLAP: [0,3) u [1,4) covers 4 tokens, not 6
+    assert out[6] == (4, 2, 4, 1)
+    # doc 7: 'b c d' at 0 and 'c d e' at 1 -> [0,4) = 4 tokens
+    assert out[7] == (5, 2, 4, 1)
+
+
+def test_dup_span_stats_hash_mode_matches(spark):
+    """hash_grams=True (the 100-TB shuffle-bytes mode) must produce
+    identical stats on collision-free input."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase here tail{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dup_span_stats(docs, k=2).collect()))
+    b = sorted(map(tuple, dup_span_stats(docs, k=2, hash_grams=True).collect()))
+    assert a == b
