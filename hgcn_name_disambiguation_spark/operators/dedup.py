@@ -673,6 +673,43 @@ def canonical_keep_list(
     )
 
 
+def _dup_gram_hits(
+    df: DataFrame,
+    k: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+    hash_grams: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of dup_span_stats / remove_dup_spans:
+    (base, hits) where base = (doc_id, n_tokens, t[okens]) and hits =
+    (doc_id, pos) — the 0-based start positions of token k-grams that
+    occur >= min_count times corpus-wide."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"), toks.alias("t")
+    )
+    grams_arr = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    grams = base.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "gram")
+    ).select("doc_id", "pos", key.alias("gkey"))
+    dup = (
+        grams.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gkey")
+    )
+    hits = grams.join(dup, "gkey").select("doc_id", "pos")
+    return base, hits
+
+
 def dup_span_stats(
     df: DataFrame,
     k: int = 8,
@@ -710,28 +747,7 @@ def dup_span_stats(
     """
     from pyspark.sql import Window as _W
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tokens"), toks.alias("t")
-    )
-    grams_arr = F.when(
-        F.col("n_tokens") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
-            lambda i: F.array_join(F.slice(F.col("t"), i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    key = F.xxhash64("gram") if hash_grams else F.col("gram")
-    grams = base.select(
-        "doc_id", F.posexplode(grams_arr).alias("pos", "gram")
-    ).select("doc_id", "pos", key.alias("gkey"))
-    dup = (
-        grams.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("gkey")
-    )
-    hits = grams.join(dup, "gkey").select("doc_id", "pos")
+    base, hits = _dup_gram_hits(df, k, min_count, id_col, text_col, hash_grams)
     # merged-interval coverage: intervals are equal-length [pos, pos+k),
     # so sorted by pos they are sorted by end too; each hit contributes
     # k minus its overlap with the running max end of earlier hits.
@@ -762,4 +778,54 @@ def dup_span_stats(
             .cast("int")
             .alias("has_dup_span"),
         )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The span REMOVAL half of Lee et al. 2022 (arXiv:2107.06499),
+    complementing dup_span_stats: delete every token covered by a
+    corpus-wide duplicated k-gram and re-join the survivors, yielding
+    the cleaned corpus the paper actually trains on. A doc whose text
+    is entirely duplicated comes back with clean_text = ''.
+
+    Returns (doc_id, n_tokens, n_tokens_kept, clean_text) — integers
+    and strings only, hash-stable across engines.
+
+    Scale shape: the gram-count shuffle and hit join are shared with
+    dup_span_stats (_dup_gram_hits); removal adds ONE tiny groupBy
+    (hit positions per doc — only docs that contain a duplicate) and
+    a broadcast-size left join back to base, after which token
+    filtering is NARROW: `F.filter(t, (tok, i) -> ...)` with an
+    `F.exists` probe over the doc's own hit-start array. No token
+    explode, no per-token shuffle — the 100-TB hot path stays one
+    pass over the token arrays.
+    """
+    base, hits = _dup_gram_hits(df, k, min_count, id_col, text_col, hash_grams)
+    hp = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("hit_starts")
+    )
+    joined = base.join(hp, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "t",
+        F.coalesce("hit_starts", F.array().cast("array<int>")).alias("hs"),
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("hs"), lambda h: (i >= h) & (i < h + F.lit(k))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size(kept).alias("n_tokens_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

@@ -105,3 +105,74 @@ def doc_fingerprint(text: Column) -> Column:
     (The 'rolling hash' for shingles lives in dedup.shingles.)"""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def vocab_top_k(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the vocab_size most frequent whitespace
+    tokens of the normalized text, total-ordered by (count DESC,
+    token ASC) so the cutoff boundary is deterministic.
+
+    Returns (token, n_occurrences, rank) with rank 1..vocab_size.
+    Scale shape: token counting is ONE map-side-combined shuffle on
+    the token; the top-K itself is TakeOrderedAndProject over the
+    distinct-token frame (a per-partition heap + driver merge of K
+    rows — never a global sort of the corpus). The vocab is
+    driver-bounded at vocab_size rows by construction, which is what
+    makes the downstream OOV join broadcastable.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(F.explode(F.split(norm, " ")).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    ordered = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(vocab_size)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    # rank window runs over <= vocab_size rows (post-limit) — bounded.
+    return ordered.select(
+        "token", "n_occurrences", F.row_number().over(w).alias("rank")
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document out-of-vocabulary counts against the corpus
+    top-vocab_size vocabulary (tokenizer-prep staple: decide vocab
+    size / flag OOV-heavy docs before training a tokenizer).
+
+    Returns (doc_id, n_tokens, n_oov) — integers only. Pass a
+    precomputed `vocab` (any frame with a `token` column, e.g. a
+    FROZEN production vocab) to score against it instead of refitting.
+
+    Scale shape: the vocab side is <= vocab_size rows and explicitly
+    broadcast, so the token->vocab membership probe is a map-side
+    hash join — the only shuffle is the final per-doc count agg.
+    """
+    v = (vocab if vocab is not None else vocab_top_k(df, vocab_size, text_col)).select(
+        "token", F.lit(1).alias("_iv")
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(norm, " ")).alias("token"),
+    )
+    return (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )

@@ -299,3 +299,34 @@ def test_dup_span_stats_hash_mode_matches(spark):
     a = sorted(map(tuple, dup_span_stats(docs, k=2).collect()))
     b = sorted(map(tuple, dup_span_stats(docs, k=2, hash_grams=True).collect()))
     assert a == b
+
+def test_remove_dup_spans_hand_computed(spark):
+    """Same corpus as the span-stats test: removal drops exactly the
+    covered positions and re-joins the survivors in order."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "z z a b c"),
+            (3, "x y z x y z"),
+            (4, "a b"),
+            (5, "p q r s"),
+            (6, "a b c d"),
+            (7, "b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.clean_text)
+        for r in remove_dup_spans(docs, k=3, min_count=2).collect()
+    }
+    assert out[1] == (5, 0, "")          # hits 0/1/2 cover everything
+    assert out[2] == (5, 2, "z z")       # hit at 2 covers positions 2-4
+    assert out[3] == (6, 0, "")          # hits 0 and 3 cover all 6
+    assert out[4] == (2, 2, "a b")       # shorter than k: untouched
+    assert out[5] == (4, 4, "p q r s")   # no duplicated gram
+    assert out[6] == (4, 0, "")          # hits 0/1 cover 0-3
+    assert out[7] == (5, 1, "f")         # hits 0/1 cover 0-3, keep 4

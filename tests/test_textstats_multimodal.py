@@ -187,3 +187,36 @@ def test_venue_paper_counts(spark):
     )
     out = {r.venue: r.paper_count for r in venue_paper_counts(df).collect()}
     assert out == {"icde": 2, "kdd": 1}
+
+
+def test_vocab_top_k_and_oov_stats(spark):
+    """Tie-break (count DESC, token ASC) pins the cutoff; OOV counts
+    are against the fitted vocab; a frozen vocab overrides the fit."""
+    from hgcn_name_disambiguation_spark.operators.textstats import (
+        oov_stats,
+        vocab_top_k,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    vocab = {
+        r.token: (r.n_occurrences, r.rank)
+        for r in vocab_top_k(docs, vocab_size=2).collect()
+    }
+    # a and b both occur twice; both beat c/d (once); a ranks first
+    assert vocab == {"a": (2, 1), "b": (2, 2)}
+
+    oov = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in oov_stats(docs, vocab_size=2).collect()
+    }
+    assert oov == {1: (3, 0), 2: (2, 1), 3: (1, 1)}
+
+    frozen = spark.createDataFrame([("d",)], "token string")
+    oov2 = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in oov_stats(docs, vocab=frozen).collect()
+    }
+    assert oov2 == {1: (3, 3), 2: (2, 2), 3: (1, 0)}
