@@ -2550,6 +2550,136 @@ FROM sized s LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q54_remove_dup_spans(spark, sf):
+    """Duplicated-substring span REMOVAL (the other half of Lee et
+    al. 2022): drop every token covered by a corpus-duplicated token
+    8-gram and re-join survivors. Integer/string-only output."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    return remove_dup_spans(_t(spark, sf, "documents"), k=8, min_count=2)
+
+
+Q54_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS t
+  FROM documents),
+sized AS (SELECT doc_id, len(t) AS n_tokens, t FROM base),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM sized, LATERAL (SELECT unnest(range(1, n_tokens - 8 + 2)) AS i) u
+  WHERE n_tokens >= 8),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT h.doc_id, h.pos + u.i AS tokpos
+  FROM hits h, LATERAL (SELECT unnest(range(0, 8)) AS i) u),
+toks AS (
+  SELECT doc_id, i - 1 AS tokpos, t[i] AS tok
+  FROM sized, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) u),
+kept AS (
+  SELECT tk.doc_id, tk.tokpos, tk.tok
+  FROM toks tk LEFT JOIN cov c
+    ON tk.doc_id = c.doc_id AND tk.tokpos = c.tokpos
+  WHERE c.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens_kept,
+         string_agg(tok, ' ' ORDER BY tokpos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q55_oov_stats(spark, sf):
+    """Tokenizer-prep staple: per-doc out-of-vocabulary token counts
+    against the corpus top-1000 vocabulary (count DESC, token ASC
+    total order makes the cutoff boundary deterministic)."""
+    from hgcn_name_disambiguation_spark.operators.textstats import (
+        oov_stats,
+    )
+
+    return oov_stats(_t(spark, sf, "documents"), vocab_size=1000)
+
+
+Q55_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+',
+                                            ' ', 'g'), ' ')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT 1000)
+SELECT t.doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+def q56_corpus_composition(spark, sf):
+    """Dataset-mixing report: per-(source, lang) doc/token/dup/unique
+    counts — the composition table a pretraining run publishes before
+    choosing mixture weights. Dup key truncated to 5 tokens (q13's
+    trick: the raw table has no full-text dups at small SF)."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        corpus_composition,
+    )
+
+    return corpus_composition(_t(spark, sf, "documents"), dup_key_tokens=5)
+
+
+Q56_SQL = r"""
+WITH base AS (
+  SELECT source, lang,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ')) AS n_toks,
+         sha256(array_to_string(string_split(regexp_replace(lower(trim(
+             text)), '\s+', ' ', 'g'), ' ')[1:5], ' ')) AS h
+  FROM documents),
+counts AS (SELECT h, count(*) AS ch FROM base GROUP BY h)
+SELECT source, lang, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+       sum(CASE WHEN ch >= 2 THEN 1 ELSE 0 END) AS n_dup_docs,
+       count(DISTINCT b.h) AS n_unique_texts
+FROM base b JOIN counts USING (h)
+GROUP BY source, lang
+"""
+
+
+def q57_event_props_rollup(spark, sf):
+    """JSON property extraction + calendar rollup over the events
+    stream table: get_json_object pulls props.k, to_date buckets the
+    timestamp — the F-family (JSON + date/time) scalar functions the
+    relational checks didn't yet exercise. Integer aggregates only."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(
+            "event_type", F.to_date("ts").alias("day"), k.alias("k")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q57_SQL = r"""
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2605,6 +2735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_cluster_assignment": q51_cluster_assignment,
         "q52_neardup_keep_list": q52_neardup_keep_list,
         "q53_dup_span_stats": q53_dup_span_stats,
+        "q54_remove_dup_spans": q54_remove_dup_spans,
+        "q55_oov_stats": q55_oov_stats,
+        "q56_corpus_composition": q56_corpus_composition,
+        "q57_event_props_rollup": q57_event_props_rollup,
     }
 
 
@@ -2673,4 +2807,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_cluster_assignment": Q51_SQL,
         "q52_neardup_keep_list": Q52_SQL,
         "q53_dup_span_stats": Q53_SQL,
+        "q54_remove_dup_spans": Q54_SQL,
+        "q55_oov_stats": Q55_SQL,
+        "q56_corpus_composition": Q56_SQL,
+        "q57_event_props_rollup": Q57_SQL,
     }

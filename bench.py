@@ -66,6 +66,18 @@ BENCH_QUERIES = [
     # round-5 near-dup canonicalization: LSH pairs resolved through
     # large-star/small-star CC into a per-doc keep-list
     "q52_neardup_keep_list",
+    # round-5 exact duplicated-substring spans (Lee et al. 2022):
+    # corpus-wide gram-count shuffle + running-max span merge, and the
+    # removal half (broadcast hit join + narrow token filter)
+    "q53_dup_span_stats",
+    "q54_remove_dup_spans",
+    # round-5 tokenizer-prep OOV: top-K vocab (TakeOrdered) broadcast
+    # against the token stream
+    "q55_oov_stats",
+    # round-5 dataset-mixing composition report (dup-key shuffle +
+    # stratum agg) and the JSON+date scalar-function rollup
+    "q56_corpus_composition",
+    "q57_event_props_rollup",
 ]
 
 

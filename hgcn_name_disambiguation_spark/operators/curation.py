@@ -405,3 +405,58 @@ def bigram_logprob(
         avg_micro.alias("avg_logprob_micro"),
         (-avg_micro).alias("ppl_micro"),
     )
+
+
+def corpus_composition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    dup_key_tokens: int | None = None,
+) -> DataFrame:
+    """Dataset-mixing report: the per-(source, lang) composition table
+    every pretraining run publishes before choosing mixture weights —
+    document counts, token counts (the unit mixing is actually done
+    in), exact-dup pressure, and distinct-text counts. All integers;
+    token SHARES are derivable downstream (kept out of the output so
+    it stays hash-stable across engines).
+
+    Returns (source, lang, n_docs, n_tokens, n_dup_docs,
+    n_unique_texts) where n_dup_docs counts docs whose normalized-text
+    key occurs >= 2 times CORPUS-WIDE (cross-source dups count in
+    every stratum they appear in — the number mixing needs, since
+    deduping one stratum shrinks the others' effective overlap).
+    ``dup_key_tokens`` truncates the dup key to the first N tokens
+    (q13's trick for manufacturing deterministic dups at small SF);
+    None = full normalized text.
+
+    Scale shape: one map-side-combined count shuffle on the 64-hex dup
+    key, one join back on that key (AQE handles skew on mega-dup
+    groups), then one agg on (source, lang) — a stratum-count-bounded
+    output. The count-distinct over keys expands the final agg 2x;
+    strata counts are tiny so the expand is map-side absorbed.
+    """
+    norm = normalized_text(F.col(text_col))
+    key_src = (
+        F.concat_ws(" ", F.slice(F.split(norm, " "), 1, dup_key_tokens))
+        if dup_key_tokens is not None
+        else norm
+    )
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(norm, " ")).alias("n_toks"),
+        F.sha2(key_src, 256).alias("h"),
+    )
+    counts = base.groupBy("h").agg(F.count(F.lit(1)).alias("ch"))
+    return (
+        base.join(counts, "h")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(F.when(F.col("ch") >= 2, 1).otherwise(0)).alias("n_dup_docs"),
+            F.countDistinct("h").alias("n_unique_texts"),
+        )
+    )

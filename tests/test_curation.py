@@ -331,3 +331,37 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[2].n_bigrams == 0 and got[2].avg_logprob_micro is None
     # fluency ordering: the repeated in-corpus bigram scores higher
     assert got[1].avg_logprob_micro >= d0
+
+
+def test_corpus_composition_hand_computed(spark):
+    """Cross-source dups count in every stratum; truncated dup key
+    manufactures dups the full-text key doesn't see."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        corpus_composition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y", "s1", "en"),
+            (2, "x y", "s1", "en"),
+            (3, "x y", "s2", "fr"),
+            (4, "a b c", "s2", "fr"),
+            (5, "a b d", "s2", "fr"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    full = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.n_dup_docs, r.n_unique_texts)
+        for r in corpus_composition(docs).collect()
+    }
+    # 'x y' occurs 3x corpus-wide: both s1 docs AND the s2 copy flag
+    assert full[("s1", "en")] == (2, 4, 2, 1)
+    assert full[("s2", "fr")] == (3, 8, 1, 3)
+
+    trunc = {
+        (r.source, r.lang): (r.n_dup_docs, r.n_unique_texts)
+        for r in corpus_composition(docs, dup_key_tokens=2).collect()
+    }
+    # keyed on first 2 tokens, 'a b c'/'a b d' collapse into a dup pair
+    assert trunc[("s2", "fr")] == (3, 2)
+    assert trunc[("s1", "en")] == (2, 1)
