@@ -2680,6 +2680,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q58_knn_label_agreement(spark, sf):
+    """kNN label-agreement over the embedding column: for each vector,
+    how many of its 5 nearest (leave-one-out, exact cosine) neighbors
+    share its label — the standard self-supervised embedding-quality
+    check. Brute top-k here is the oracle-checkable baseline; at scale
+    the SAME label_agreement composition consumes lsh_topk/ivf_topk
+    output instead. Integer outputs only."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        label_agreement,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    topk = brute_force_topk(
+        e,
+        e.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+        exclude_self=True,
+    )
+    return label_agreement(topk, e.select("vec_id", "label"))
+
+
+Q58_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+topk AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+    FROM scored) WHERE rank <= 5)
+SELECT t.query_id AS vec_id, q.label, COUNT(*) AS n_neighbors,
+       SUM(CASE WHEN q.label = c.label THEN 1 ELSE 0 END) AS n_same_label
+FROM topk t
+JOIN v q ON q.vec_id = t.query_id
+JOIN v c ON c.vec_id = t.nbr_id
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2739,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_oov_stats": q55_oov_stats,
         "q56_corpus_composition": q56_corpus_composition,
         "q57_event_props_rollup": q57_event_props_rollup,
+        "q58_knn_label_agreement": q58_knn_label_agreement,
     }
 
 
@@ -2811,4 +2861,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_oov_stats": Q55_SQL,
         "q56_corpus_composition": Q56_SQL,
         "q57_event_props_rollup": Q57_SQL,
+        "q58_knn_label_agreement": Q58_SQL,
     }

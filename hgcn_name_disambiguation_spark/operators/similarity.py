@@ -164,9 +164,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     broadcast_queries: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast (small side)
-    so the corpus never shuffles; ties broken by neighbor id asc."""
+    so the corpus never shuffles; ties broken by neighbor id asc.
+    exclude_self drops query_id == nbr_id BEFORE ranking, so the k
+    slots all go to real neighbors (leave-one-out semantics)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -178,6 +181,8 @@ def brute_force_topk(
         "nbr_id",
         F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
     )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("nbr_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id")
     )
@@ -399,4 +404,49 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def label_agreement(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-agreement: for each query, how many of its top-k
+    neighbors share its label — the standard self-supervised quality
+    check for an embedding column (and, fed an ANN top-k instead of
+    the brute one, a recall proxy for the index).
+
+    Takes ANY (query_id, nbr_id, ...) neighbor frame — brute_force_topk,
+    lsh_topk, or ivf_topk — so the expensive step keeps whichever scale
+    path produced it; this composition adds two equi-joins on the id
+    (label side is NOT assumed broadcastable: at 100 TB labels span
+    the corpus) and one count agg per query.
+
+    Returns (vec_id, label, n_neighbors, n_same_label) — integers only.
+    """
+    lq = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    ln = labels.select(
+        F.col(id_col).alias("nbr_id"), F.col(label_col).alias("n_label")
+    )
+    return (
+        topk.select("query_id", "nbr_id")
+        .join(lq, "query_id")
+        .join(ln, "nbr_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            ).alias("n_same_label"),
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            "n_neighbors",
+            "n_same_label",
+        )
     )

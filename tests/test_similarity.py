@@ -142,3 +142,47 @@ def test_hyperplanes_not_degenerate():
         top_share = np.bincount(buckets).max() / len(buckets)
         assert n_distinct > 128, f"only {n_distinct} buckets occupied"
         assert top_share < 0.05, f"top bucket holds {top_share:.1%}"
+
+
+def test_label_agreement_hand_computed(spark):
+    """Composition math on a hand-built neighbor frame, then the full
+    brute-force path on two clean clusters (every point's 2 NNs are
+    its own cluster-mates; exclude_self keeps the query out)."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        brute_force_topk,
+        label_agreement,
+    )
+
+    topk = spark.createDataFrame(
+        [(1, 2), (1, 3)], "query_id long, nbr_id long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, label int"
+    )
+    got = label_agreement(topk, labels).collect()
+    assert [(r.vec_id, r.label, r.n_neighbors, r.n_same_label) for r in got] == [
+        (1, 0, 2, 1)
+    ]
+
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),
+        (2, [0.98, 0.02], 0),
+        (10, [0.0, 1.0], 1),
+        (11, [0.01, 0.99], 1),
+        (12, [0.02, 0.98], 1),
+    ]
+    e = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    tk = brute_force_topk(
+        e,
+        e.selectExpr("vec_id as query_id", "embedding"),
+        k=2,
+        exclude_self=True,
+    )
+    out = {
+        r.vec_id: (r.label, r.n_neighbors, r.n_same_label)
+        for r in label_agreement(tk, e.select("vec_id", "label")).collect()
+    }
+    assert out == {i: (0 if i < 10 else 1, 2, 2) for i in [0, 1, 2, 10, 11, 12]}
