@@ -2729,6 +2729,70 @@ GROUP BY 1, 2
 """
 
 
+def q59_dsir_selection(spark, sf):
+    """DSIR data selection (Xie et al. 2023): score every document by
+    its hashed-ngram log importance weight toward a target domain
+    (here source='src0' stands in for the high-quality target corpus)
+    and flag the top-100 picks. md5 bucket mode so DuckDB reproduces
+    the bucketing bit-for-bit; scores are exact integer micro-nats."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        importance_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    return importance_weights(
+        d,
+        d.where(F.col("source") == "src0"),
+        num_buckets=10_000,
+        hash_mode="md5",
+        select_k=100,
+    )
+
+
+Q59_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+  FROM documents),
+toks AS (
+  SELECT doc_id, source, g.tok, g.pos FROM docs,
+  LATERAL (SELECT unnest(string_split(ntext, ' ')) AS tok,
+                  generate_subscripts(string_split(ntext, ' '), 1) AS pos) g),
+ngrams AS (
+  SELECT doc_id, source, tok AS ng FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.source, a.tok || ' ' || b.tok AS ng
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+feats AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) % 10000 AS bucket,
+         COUNT(*) AS c
+  FROM ngrams GROUP BY 1, 2, 3),
+raw_m AS (SELECT bucket, SUM(c) AS rc FROM feats GROUP BY 1),
+tgt_m AS (SELECT bucket, SUM(c) AS tc FROM feats
+          WHERE source = 'src0' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(rc) FROM raw_m) AS tr,
+               (SELECT COALESCE(SUM(tc), 0) FROM tgt_m) AS tt),
+lr AS (
+  SELECT r.bucket,
+         CAST(FLOOR(1e6 * ln(COALESCE(t.tc, 0) + 1.0)) AS BIGINT)
+       - CAST(FLOOR(1e6 * ln(tot.tt + 10000.0)) AS BIGINT)
+       - CAST(FLOOR(1e6 * ln(r.rc + 1.0)) AS BIGINT)
+       + CAST(FLOOR(1e6 * ln(tot.tr + 10000.0)) AS BIGINT) AS lr_micro
+  FROM raw_m r LEFT JOIN tgt_m t USING (bucket) CROSS JOIN tot),
+scores AS (
+  SELECT f.doc_id, SUM(f.c) AS n_feats,
+         SUM(f.c * l.lr_micro) AS logratio_micro
+  FROM feats f JOIN lr l USING (bucket) GROUP BY 1),
+sel AS (SELECT doc_id FROM scores
+        ORDER BY logratio_micro DESC, doc_id ASC LIMIT 100)
+SELECT s.doc_id, CAST(s.n_feats AS BIGINT) AS n_feats,
+       CAST(s.logratio_micro AS BIGINT) AS logratio_micro,
+       CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS selected
+FROM scores s LEFT JOIN sel USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2789,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_corpus_composition": q56_corpus_composition,
         "q57_event_props_rollup": q57_event_props_rollup,
         "q58_knn_label_agreement": q58_knn_label_agreement,
+        "q59_dsir_selection": q59_dsir_selection,
     }
 
 
@@ -2862,4 +2927,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_corpus_composition": Q56_SQL,
         "q57_event_props_rollup": Q57_SQL,
         "q58_knn_label_agreement": Q58_SQL,
+        "q59_dsir_selection": Q59_SQL,
     }

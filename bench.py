@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     # stratum agg) and the JSON+date scalar-function rollup
     "q56_corpus_composition",
     "q57_event_props_rollup",
+    # round-5 embedding QA (brute leave-one-out kNN + label joins) and
+    # DSIR data selection (hashed-ngram models broadcast as a 10^4-row
+    # log-ratio table; TakeOrdered top-k flag)
+    "q58_knn_label_agreement",
+    "q59_dsir_selection",
 ]
 
 

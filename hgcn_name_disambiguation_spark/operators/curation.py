@@ -407,6 +407,135 @@ def bigram_logprob(
     )
 
 
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Hashed bag-of-ngrams features (DSIR's representation, Xie et
+    al. 2023 arXiv:2302.03169 §2.2): unigrams + bigrams of the
+    normalized text, hashed into ``num_buckets`` buckets. Returns
+    (doc_id, bucket, c).
+
+    The n-gram arrays are built NARROWLY (split + transform over the
+    token array — no posexplode/window, so no per-token shuffle); the
+    only shuffle is the final (doc_id, bucket) count, map-side
+    combined. ``hash_mode="md5"`` uses conv(md5-prefix) % B, which
+    DuckDB reproduces bit-for-bit (`('0x'||substr(md5,1,15))::BIGINT`
+    — 60-bit positive, so % == pmod); "xxhash64" is the production
+    mode (one 64-bit hash instead of a 32-hex digest per n-gram).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    # bigrams: t[i] + ' ' + t[i+1] via transform over the first n-1
+    # slots — Spark [] indexing and transform's i are both 0-based.
+    ngrams = F.expr(
+        "concat(t, transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', t[i + 1])))"
+    )
+    ng = d.select("doc_id", F.explode(ngrams).alias("ng"))
+    if hash_mode == "md5":
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("ng"), 1, 15), 16, 10).cast("long"),
+            F.lit(num_buckets),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64("ng"), F.lit(num_buckets))
+    return (
+        ng.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    hash_mode: str = "xxhash64",
+    select_k: int | None = None,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw-corpus document by its log importance weight under two
+    add-one-smoothed hashed-ngram bag models — target p vs raw q:
+
+        log w(doc) = sum over buckets b of  c_doc[b] * (ln p_b - ln q_b)
+        p_b = (tc_b + 1) / (T_t + B),  q_b = (rc_b + 1) / (T_r + B)
+
+    and (optionally) keep the top ``select_k`` docs by weight — the
+    "pick raw data that looks like the target domain" selection step
+    of a pretraining-data pipeline.
+
+    Returns (doc_id, n_feats, logratio_micro[, selected]) — INTEGER
+    micro-nats only: each ln term is floored to floor(1e6*ln(int))
+    separately (exact-integer arithmetic after that, the q50 pattern),
+    so per-bucket log-ratios and their weighted sums are exact BIGINTs
+    — order-insensitive and hash-stable across engines.
+
+    Scale shape: both models are one map-side-combined agg bounded by
+    ``num_buckets`` rows (10^4 constant regardless of corpus size), so
+    the log-ratio table is BROADCAST; scoring is the doc-feature frame
+    joined to that broadcast + one per-doc sum. The totals ride 1-row
+    broadcast cross-joins. Selection is TakeOrdered (bounded k rows on
+    the driver) re-broadcast as a flag join — never a global window.
+    """
+    feats = hashed_ngram_features(
+        raw, id_col, text_col, num_buckets, hash_mode
+    )
+    tgt_feats = hashed_ngram_features(
+        target, id_col, text_col, num_buckets, hash_mode
+    )
+    raw_m = feats.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt_m = tgt_feats.groupBy("bucket").agg(F.sum("c").alias("tc"))
+    tot_r = raw_m.select(F.sum("rc").alias("tr"))
+    tot_t = tgt_m.select(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+
+    def _fl(x):  # floor(1e6 * ln x) of an exact integer-valued input
+        return F.floor(F.lit(1e6) * F.log(x)).cast("long")
+
+    # every doc bucket appears in the raw model by construction, so
+    # raw_m is the spine; target counts default to 0 (smoothed to 1).
+    lr = (
+        raw_m.join(tgt_m, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                _fl(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                - _fl(F.col("tt") + F.lit(float(num_buckets)))
+                - _fl(F.col("rc") + F.lit(1.0))
+                + _fl(F.col("tr") + F.lit(float(num_buckets)))
+            ).alias("lr_micro"),
+        )
+    )
+    scores = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("logratio_micro"),
+        )
+    )
+    if select_k is None:
+        return scores
+    topk = (
+        scores.orderBy(F.desc("logratio_micro"), F.asc("doc_id"))
+        .limit(select_k)
+        .select("doc_id", F.lit(1).alias("selected"))
+    )
+    return scores.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "n_feats",
+        "logratio_micro",
+        F.coalesce("selected", F.lit(0)).alias("selected"),
+    )
+
+
 def corpus_composition(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -365,3 +365,87 @@ def test_corpus_composition_hand_computed(spark):
     # keyed on first 2 tokens, 'a b c'/'a b d' collapse into a dup pair
     assert trunc[("s2", "fr")] == (3, 2)
     assert trunc[("s1", "en")] == (2, 1)
+
+
+def test_importance_weights_python_replica(spark):
+    """DSIR scores replicated exactly in pure Python (same md5
+    bucketing, same per-term floor(1e6*ln) integer arithmetic), plus
+    the semantic check: the doc made of target words outscores the
+    disjoint one, and select_k=1 flags exactly it."""
+    import math
+
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        importance_weights,
+    )
+
+    raw_rows = [
+        (0, "spark shuffle join"),       # target-like
+        (1, "llama gnu zebra"),          # disjoint from target
+        (2, "spark zebra join"),         # mixed
+    ]
+    tgt_rows = [(10, "spark join shuffle"), (11, "spark shuffle")]
+    B = 10_000
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    def ngrams(text):
+        w = " ".join(text.lower().split()).split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(ng):
+        return int(hashlib.md5(ng.encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        out = {}
+        for _id, text in rows:
+            for ng in ngrams(text):
+                out[bucket(ng)] = out.get(bucket(ng), 0) + 1
+        return out
+
+    rc, tc = counts(raw_rows), counts(tgt_rows)
+    tr, tt = sum(rc.values()), sum(tc.values())
+    fl = lambda x: math.floor(1e6 * math.log(x))
+    lr = {
+        b: fl(tc.get(b, 0) + 1.0) - fl(tt + float(B))
+        - fl(rc[b] + 1.0) + fl(tr + float(B))
+        for b in rc
+    }
+    expected = {}
+    for _id, text in raw_rows:
+        per_doc = {}
+        for ng in ngrams(text):
+            per_doc[bucket(ng)] = per_doc.get(bucket(ng), 0) + 1
+        expected[_id] = (
+            sum(per_doc.values()),
+            sum(c * lr[b] for b, c in per_doc.items()),
+        )
+
+    got = {
+        r.doc_id: (r.n_feats, r.logratio_micro, r.selected)
+        for r in importance_weights(
+            raw, tgt, num_buckets=B, hash_mode="md5", select_k=1
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == expected
+    # target-like doc scores highest and is the one selected
+    assert got[0][1] > got[2][1] > got[1][1]
+    assert [k for k, v in got.items() if v[2] == 1] == [0]
+
+
+def test_importance_weights_scores_only_and_xxhash_mode(spark):
+    """select_k=None returns scores without the flag column, and the
+    production xxhash64 mode runs with the same schema + row count."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "a d")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    s = importance_weights(raw, tgt, num_buckets=64, hash_mode="md5")
+    assert s.columns == ["doc_id", "n_feats", "logratio_micro"]
+    p = importance_weights(raw, tgt, num_buckets=64, select_k=2)
+    assert p.columns == ["doc_id", "n_feats", "logratio_micro", "selected"]
+    rows = p.collect()
+    assert len(rows) == 3 and sum(r.selected for r in rows) == 2
