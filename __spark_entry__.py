@@ -2793,6 +2793,56 @@ FROM scores s LEFT JOIN sel USING (doc_id)
 """
 
 
+def q60_asof_last_view(spark, sf):
+    """Point-in-time (as-of) join over the events stream: every
+    non-view event picks up the SAME user's most recent 'view' at or
+    before its timestamp — the feature-store primitive Spark's join
+    family lacks, implemented as a union-scan + last(ignorenulls)
+    window (one shuffle, no range explosion). Equal-ts ties resolve
+    right-before-left then highest view id. Time delta is exact
+    integer microseconds (epoch_us on both engines)."""
+    from hgcn_name_disambiguation_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    lefts = e.where(F.col("event_type") != "view").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    j = asof_join(lefts, views, on="user_id", right_id="view_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("r_view_id").alias("last_view_id"),
+        F.expr("timestampdiff(MICROSECOND, r_view_ts, ts)").alias(
+            "us_since_view"
+        ),
+    )
+
+
+Q60_SQL = r"""
+WITH views AS (
+  SELECT user_id, ts, event_id AS view_id FROM events
+  WHERE event_type = 'view'),
+lefts AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type <> 'view')
+SELECT l.event_id, l.user_id, l.event_type,
+       m.view_id AS last_view_id,
+       epoch_us(l.ts) - epoch_us(m.ts) AS us_since_view
+FROM lefts l
+LEFT JOIN LATERAL (
+  SELECT v.view_id, v.ts FROM views v
+  WHERE v.user_id = l.user_id AND v.ts <= l.ts
+  ORDER BY v.ts DESC, v.view_id DESC LIMIT 1) m ON TRUE
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2854,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_event_props_rollup": q57_event_props_rollup,
         "q58_knn_label_agreement": q58_knn_label_agreement,
         "q59_dsir_selection": q59_dsir_selection,
+        "q60_asof_last_view": q60_asof_last_view,
     }
 
 
@@ -2928,4 +2979,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_event_props_rollup": Q57_SQL,
         "q58_knn_label_agreement": Q58_SQL,
         "q59_dsir_selection": Q59_SQL,
+        "q60_asof_last_view": Q60_SQL,
     }

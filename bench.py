@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     # log-ratio table; TakeOrdered top-k flag)
     "q58_knn_label_agreement",
     "q59_dsir_selection",
+    # round-5 as-of join (union-scan + last-ignorenulls window: one
+    # shuffle, no range explosion)
+    "q60_asof_last_view",
 ]
 
 

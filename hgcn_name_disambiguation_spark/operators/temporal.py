@@ -1,0 +1,89 @@
+"""Point-in-time (as-of) join — the temporal operator Spark's built-in
+join family lacks.
+
+For each left row, attach the LATEST right row with the same key and
+``right.ts <= left.ts`` (``<`` when strict) — the feature-store /
+training-data primitive ("the user's most recent profile/view/price AS
+OF this example's timestamp") whose naive formulations are both wrong
+at scale: a range-join explodes quadratically inside time buckets, and
+a per-left-row correlated lookup is a driver loop.
+
+Implementation is the union-scan shape: tag both sides, sort each key
+partition once by (ts, side, tiebreak), and carry the last-seen right
+payload forward with ``last(ignorenulls)`` over an unbounded-preceding
+ROWS window — ONE shuffle on the key, a single O(n) streaming pass per
+partition (rowsBetween windows don't re-scan), zero row amplification.
+Exactly-equal timestamps are deterministic: right rows sort before
+left rows (inclusive mode), and right-vs-right ties resolve to the
+highest ``right_id``.
+
+Skew: one hot key's timeline serializes into one task's sort — that is
+inherent to "running last per key" (the state is order-dependent), but
+the state carried is ONE struct, so the task is sort-bound, not
+memory-bound; at 100 TB per-key timelines are bounded by the key's own
+event rate, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_id: str | None = None,
+    strict: bool = False,
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """As-of (point-in-time) LEFT join.
+
+    Returns every ``left`` row plus the payload columns of the latest
+    matching ``right`` row (prefixed ``payload_prefix``), NULL when no
+    right row precedes it. ``right_id`` names a unique right column
+    used as the equal-timestamp tie-break (highest wins); defaults to
+    the first non-key, non-ts right column.
+
+    strict=False matches ``right.ts <= left.ts`` (a right row exactly
+    at the left timestamp is visible); strict=True matches ``<``.
+    """
+    payload = [c for c in right.columns if c not in (on, ts_col)]
+    if right_id is None:
+        if not payload:
+            raise ValueError("right needs at least one payload column")
+        right_id = payload[0]
+    # inclusive: right sorts BEFORE left at equal ts (side 0 < 1) so a
+    # same-instant right row is already "seen"; strict flips the order.
+    r_side, l_side = (0, 1) if not strict else (1, 0)
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        F.col(right_id).cast("string").alias("_tb"),
+        F.struct(*payload).alias("_r"),
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(l_side).alias("_side"),
+        F.lit(None).cast("string").alias("_tb"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.struct(*left.columns).alias("_l"),
+    )
+    u = r.select("_k", "_ts", "_side", "_tb", "_r", F.lit(None).cast(
+        l.schema["_l"].dataType
+    ).alias("_l")).unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc_nulls_first("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    ).where(F.col("_side") == l_side)
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(f"{payload_prefix}{c}") for c in payload
+    ]
+    return matched.select(*out_cols)

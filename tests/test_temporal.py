@@ -1,0 +1,95 @@
+"""As-of join tests: hand-computed point-in-time semantics, the
+equal-timestamp edge in both inclusive and strict modes, the
+right-vs-right tie-break, unmatched rows, and partitioning invariance.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from hgcn_name_disambiguation_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T00:10:00")),  # after v2
+            (2, 100, _ts("2024-01-01T00:02:00")),  # between v1 and v2
+            (3, 100, _ts("2024-01-01T00:00:30")),  # before any view? v1 at 00:01
+            (4, 200, _ts("2024-01-01T00:05:00")),  # exactly at v4's ts
+            (5, 300, _ts("2024-01-01T00:05:00")),  # user with no views
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T00:01:00"), 11),
+            (100, _ts("2024-01-01T00:05:00"), 12),
+            (200, _ts("2024-01-01T00:05:00"), 21),
+            (200, _ts("2024-01-01T00:05:00"), 22),  # same-ts tie: 22 wins
+        ],
+        "user_id long, ts timestamp, view_id long",
+    )
+    return left, right
+
+
+def test_asof_inclusive_hand_computed(spark):
+    left, right = _frames(spark)
+    got = {
+        r.event_id: r.r_view_id
+        for r in asof_join(left, right, on="user_id", right_id="view_id")
+        .collect()
+    }
+    assert got == {
+        1: 12,  # latest view <= 00:10 is v12 at 00:05
+        2: 11,  # only v11 at 00:01 precedes 00:02
+        3: None,  # 00:00:30 precedes every view
+        4: 22,  # same-instant views visible; tie -> highest view_id
+        5: None,  # user 300 has no views at all
+    }
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    left, right = _frames(spark)
+    got = {
+        r.event_id: r.r_view_id
+        for r in asof_join(
+            left, right, on="user_id", right_id="view_id", strict=True
+        ).collect()
+    }
+    # event 4 sits exactly at the views' ts: strict must NOT see them
+    assert got[4] is None
+    # all other matches unchanged (no other left row shares a view ts)
+    assert got[1] == 12 and got[2] == 11 and got[3] is None
+
+
+def test_asof_carries_all_payload_and_left_columns(spark):
+    left, right = _frames(spark)
+    r2 = right.withColumn("price", F.col("view_id") * 10)
+    out = asof_join(left, r2, on="user_id", right_id="view_id")
+    assert out.columns == [
+        "event_id", "user_id", "ts", "r_view_id", "r_price",
+    ]
+    row = {r.event_id: r for r in out.collect()}
+    assert row[1].r_price == 120 and row[5].r_price is None
+
+
+def test_asof_invariant_under_repartitioning(spark):
+    left, right = _frames(spark)
+    base = sorted(
+        (r.event_id, r.r_view_id)
+        for r in asof_join(left, right, on="user_id", right_id="view_id")
+        .collect()
+    )
+    shuffled = sorted(
+        (r.event_id, r.r_view_id)
+        for r in asof_join(
+            left.repartition(7), right.repartition(5, "ts"),
+            on="user_id", right_id="view_id",
+        ).collect()
+    )
+    assert base == shuffled
