@@ -2843,6 +2843,59 @@ LEFT JOIN LATERAL (
 """
 
 
+def q61_range_join_error_attribution(spark, sf):
+    """Windowed (range) join over the events stream: for each 'error'
+    event, the count and integer prop-sum of the SAME user's 'click'
+    events in the preceding 5 minutes — error attribution. Bucketed
+    equi-join shape (one 2-row explode on the error side, no per-key
+    nested loop); integer outputs only."""
+    from hgcn_name_disambiguation_spark.operators.temporal import range_join
+
+    e = _t(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    pairs = range_join(errors, clicks, on="user_id", window_us=300_000_000)
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_5m"),
+        F.sum("r_k").alias("sum_k_5m"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_clicks_5m", F.lit(0)).alias("n_clicks_5m"),
+        F.coalesce("sum_k_5m", F.lit(0)).alias("sum_k_5m"),
+    )
+
+
+Q61_SQL = r"""
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT e.event_id, c.k
+  FROM errors e JOIN clicks c
+    ON c.user_id = e.user_id
+   AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+   AND epoch_us(c.ts) <= epoch_us(e.ts)),
+agg AS (
+  SELECT event_id, COUNT(*) AS n, SUM(k) AS sk FROM pairs GROUP BY 1)
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_clicks_5m,
+       CAST(COALESCE(a.sk, 0) AS BIGINT) AS sum_k_5m
+FROM errors e LEFT JOIN agg a USING (event_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2905,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_knn_label_agreement": q58_knn_label_agreement,
         "q59_dsir_selection": q59_dsir_selection,
         "q60_asof_last_view": q60_asof_last_view,
+        "q61_range_join_error_attribution": q61_range_join_error_attribution,
     }
 
 
@@ -2980,4 +3034,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_knn_label_agreement": Q58_SQL,
         "q59_dsir_selection": Q59_SQL,
         "q60_asof_last_view": Q60_SQL,
+        "q61_range_join_error_attribution": Q61_SQL,
     }

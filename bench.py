@@ -83,9 +83,10 @@ BENCH_QUERIES = [
     # log-ratio table; TakeOrdered top-k flag)
     "q58_knn_label_agreement",
     "q59_dsir_selection",
-    # round-5 as-of join (union-scan + last-ignorenulls window: one
-    # shuffle, no range explosion)
+    # round-5 temporal joins: as-of (union-scan + last-ignorenulls
+    # window) and bucketed range join (2-row probe explode, equi-join)
     "q60_asof_last_view",
+    "q61_range_join_error_attribution",
 ]
 
 

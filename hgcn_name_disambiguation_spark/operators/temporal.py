@@ -29,6 +29,70 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _epoch_us(col):
+    """Exact integer microseconds since epoch for TIMESTAMP or
+    TIMESTAMP_NTZ columns (timezone-independent: a pure diff against
+    the epoch literal in the same clock)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" cast({col} as timestamp_ntz))"
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_us: int,
+    ts_col: str = "ts",
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """Windowed (range) join: every (left, right) pair with the same
+    key and ``right.ts`` in ``[left.ts - window_us, left.ts]`` — the
+    "events within Δ before" temporal join (error attribution, session
+    stitching, feature lookback).
+
+    Naive formulations fail at scale: a non-equi theta-join is a
+    nested-loop cross product per key, and a per-key window sort can't
+    express many-to-many matches. This is the BUCKETED shape: both
+    sides bucket timestamps at the window width, the LEFT side probes
+    its own and the preceding bucket (a 2-row explode — bounded 2x
+    amplification on one side only), the join is a plain equi-join on
+    (key, bucket) that shuffles/AQE-skew-handles like any other, and
+    an exact range filter keeps true matches. Each true pair survives
+    exactly once (a right row lives in exactly one bucket; the two
+    probe buckets are distinct).
+
+    Returns left columns + prefixed right payload columns; inner
+    semantics (unmatched left rows drop — wrap with a left join on the
+    output keys when outer semantics are needed).
+    """
+    payload = [c for c in right.columns if c not in (on, ts_col)]
+    l_us = _epoch_us(ts_col)
+    r_us = _epoch_us(ts_col)
+    lb = F.floor(l_us / F.lit(window_us)).cast("long")
+    l = left.select(
+        F.struct(*left.columns).alias("_l"),
+        F.col(on).alias("_k"),
+        l_us.alias("_lus"),
+        F.explode(F.array(lb - 1, lb)).alias("_b"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        r_us.alias("_rus"),
+        F.floor(r_us / F.lit(window_us)).cast("long").alias("_b"),
+        *[F.col(c).alias(f"{payload_prefix}{c}") for c in payload],
+    )
+    j = l.join(r, ["_k", "_b"]).where(
+        (F.col("_rus") >= F.col("_lus") - F.lit(window_us))
+        & (F.col("_rus") <= F.col("_lus"))
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"{payload_prefix}{c}") for c in payload
+    ]
+    return j.select(*out_cols)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -93,3 +93,43 @@ def test_asof_invariant_under_repartitioning(spark):
         ).collect()
     )
     assert base == shuffled
+
+
+def test_range_join_hand_computed(spark):
+    """Bucketed range join vs a brute-force Python oracle, with rows
+    placed adversarially around bucket boundaries (window = 100us so
+    buckets are tiny) — including a right row exactly at left.ts
+    (inclusive), exactly at left.ts - window (inclusive), and one just
+    outside; and the exactly-once guarantee for same-bucket matches."""
+    from hgcn_name_disambiguation_spark.operators.temporal import range_join
+
+    # build from epoch micros via timestamp arithmetic in SQL to avoid
+    # local-timezone surprises: store micros, derive ts column
+    left_rows = [(1, 7, 1000), (2, 7, 250), (3, 8, 1000)]
+    right_rows = [
+        (10, 7, 1000),  # == left1.ts          -> match (inclusive)
+        (11, 7, 900),   # in (ts-100, ts)      -> match
+        (12, 7, 899),   # just outside         -> no
+        (13, 7, 150),   # == left2.ts - 100    -> match (inclusive)
+        (14, 7, 260),   # after left2          -> no (for left2)
+        (15, 9, 1000),  # other user           -> no
+    ]
+    mk = lambda rows, idc: spark.createDataFrame(
+        rows, f"{idc} long, user_id long, us long"
+    ).select(idc, "user_id", F.expr(
+        "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias("ts"))
+    left = mk(left_rows, "event_id")
+    right = mk(right_rows, "rid")
+
+    got = sorted(
+        (r.event_id, r.r_rid)
+        for r in range_join(left, right, on="user_id", window_us=100).collect()
+    )
+    brute = sorted(
+        (le, rr)
+        for (le, lu, lt) in left_rows
+        for (rr, ru, rt) in right_rows
+        if lu == ru and lt - 100 <= rt <= lt
+    )
+    assert got == brute == [(1, 10), (1, 11), (2, 13)]
