@@ -2896,6 +2896,122 @@ FROM errors e LEFT JOIN agg a USING (event_id)
 """
 
 
+def q62_event_time_windows(spark, sf):
+    """Event-time windowed rollups via Spark's native window()
+    primitive — the batch twin of the Structured-Streaming windowed
+    agg: 10-minute TUMBLING and 10-minute-width / 5-minute-slide
+    HOPPING (each event lands in exactly two hop windows) counts per
+    event_type. Window starts are exact integer epoch-microseconds."""
+    e = _t(spark, sf, "events")
+
+    def rollup(win, kind):
+        return (
+            e.groupBy(win.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                    " cast(w.start as timestamp_ntz))"
+                ).alias("window_start_us"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    tumble = rollup(F.window("ts", "10 minutes"), "tumble")
+    hop = rollup(F.window("ts", "10 minutes", "5 minutes"), "hop")
+    return tumble.unionByName(hop)
+
+
+Q62_SQL = r"""
+WITH e AS (
+  SELECT event_type, ts,
+         epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS tb10,
+         epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS tb5
+  FROM events),
+tumble AS (
+  SELECT 'tumble' AS kind, tb10 AS window_start_us, event_type,
+         COUNT(*) AS n_events
+  FROM e GROUP BY 2, 3),
+hop AS (
+  -- width 10m, slide 5m: every event is in exactly the two hop
+  -- windows starting at time_bucket(5m, ts) and 5 minutes earlier
+  SELECT 'hop' AS kind, ws AS window_start_us, event_type,
+         COUNT(*) AS n_events
+  FROM e, UNNEST([tb5, tb5 - 300000000]) AS t(ws)
+  GROUP BY 2, 3)
+SELECT * FROM tumble UNION ALL SELECT * FROM hop
+"""
+
+
+def q63_mutual_knn_triangles(spark, sf):
+    """Embedding-manifold QA #2: per-node degree + triangle counts of
+    the MUTUAL top-5 cosine kNN graph (clustering-coefficient
+    ingredients; tight clusters triangle-dense, noise points isolated).
+    ID-oriented wedge enumeration — each triangle found exactly once,
+    wedge frame bounded by n*k^2. Integer outputs only."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        mutual_topk_edges,
+        triangle_counts,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    topk = brute_force_topk(
+        e,
+        e.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+        exclude_self=True,
+    )
+    return triangle_counts(
+        mutual_topk_edges(topk), nodes=e.select("vec_id")
+    )
+
+
+Q63_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+topk AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+    FROM scored) WHERE rank <= 5),
+edges AS (
+  SELECT t.query_id AS a, t.nbr_id AS b
+  FROM topk t JOIN topk r
+    ON r.query_id = t.nbr_id AND r.nbr_id = t.query_id
+  WHERE t.query_id < t.nbr_id),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1 JOIN edges e2 ON e2.a = e1.b) w
+  JOIN edges e3 ON e3.a = w.a AND e3.b = w.c),
+ntri AS (
+  SELECT vec_id, COUNT(*) AS n_triangles
+  FROM (SELECT a AS vec_id FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY 1),
+deg AS (
+  SELECT vec_id, COUNT(*) AS degree
+  FROM (SELECT a AS vec_id FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY 1)
+SELECT v.vec_id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(n.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM v LEFT JOIN deg d USING (vec_id) LEFT JOIN ntri n USING (vec_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2959,6 +3075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_dsir_selection": q59_dsir_selection,
         "q60_asof_last_view": q60_asof_last_view,
         "q61_range_join_error_attribution": q61_range_join_error_attribution,
+        "q62_event_time_windows": q62_event_time_windows,
+        "q63_mutual_knn_triangles": q63_mutual_knn_triangles,
     }
 
 
@@ -3035,4 +3153,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_dsir_selection": Q59_SQL,
         "q60_asof_last_view": Q60_SQL,
         "q61_range_join_error_attribution": Q61_SQL,
+        "q62_event_time_windows": Q62_SQL,
+        "q63_mutual_knn_triangles": Q63_SQL,
     }

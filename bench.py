@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     # window) and bucketed range join (2-row probe explode, equi-join)
     "q60_asof_last_view",
     "q61_range_join_error_attribution",
+    # round-5 event-time windows (tumbling + hopping) and mutual-kNN
+    # graph triangle counting (ID-oriented wedge join)
+    "q62_event_time_windows",
+    "q63_mutual_knn_triangles",
 ]
 
 

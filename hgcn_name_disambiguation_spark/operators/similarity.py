@@ -450,3 +450,74 @@ def label_agreement(
             "n_same_label",
         )
     )
+
+
+def mutual_topk_edges(topk: DataFrame) -> DataFrame:
+    """Undirected mutual-kNN edges from ANY (query_id, nbr_id)
+    neighbor frame: (a, b) with a < b kept iff each appears in the
+    other's top-k. One self-join on the reversed pair — the directed
+    frame is n*k rows, so this is k-bounded, never quadratic.
+
+    The mutual-kNN graph is the standard manifold skeleton of an
+    embedding column (isolated points and asymmetric hubs drop out).
+    """
+    d = topk.select("query_id", "nbr_id")
+    rev = d.select(
+        F.col("nbr_id").alias("query_id"), F.col("query_id").alias("nbr_id")
+    )
+    return (
+        d.join(rev, ["query_id", "nbr_id"])
+        .where(F.col("query_id") < F.col("nbr_id"))
+        .select(F.col("query_id").alias("a"), F.col("nbr_id").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Per-node triangle and degree counts over an undirected edge
+    frame (a, b) with a < b — the clustering-coefficient ingredients
+    (coefficient = 2*T / (deg*(deg-1)), left to the caller so the
+    output stays integer-only).
+
+    Node-iterator shape with ID orientation: wedges are enumerated
+    only as a < b < c (join e(a,b) x e(b,c) on the middle vertex, then
+    one equi-join back onto e(a,c)) so each triangle is found exactly
+    once and the wedge frame is bounded by sum(out_deg^2) — on a kNN
+    graph out-degree <= k, so wedges <= n*k^2 regardless of corpus
+    size. No vertex ever holds its full adjacency in memory.
+    """
+    e = edges.select("a", "b").where(F.col("a") < F.col("b")).distinct()
+    w = (
+        e.select(F.col("a"), F.col("b").alias("m"))
+        .join(e.select(F.col("a").alias("m"), F.col("b").alias("c")), "m")
+        .select("a", F.col("m").alias("b"), "c")
+    )
+    tri = w.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    per_node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    base = (
+        nodes.select(F.col(nodes.columns[0]).alias("vec_id"))
+        if nodes is not None
+        else deg.select("vec_id")
+    )
+    return (
+        base.join(deg, "vec_id", "left")
+        .join(per_node_tri, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )

@@ -186,3 +186,36 @@ def test_label_agreement_hand_computed(spark):
         for r in label_agreement(tk, e.select("vec_id", "label")).collect()
     }
     assert out == {i: (0 if i < 10 else 1, 2, 2) for i in [0, 1, 2, 10, 11, 12]}
+
+
+def test_mutual_topk_edges_and_triangles(spark):
+    """Hand-built graphs: mutuality filter (asymmetric pairs drop),
+    and exactly-once triangle counting on K3 + pendant + isolate."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        mutual_topk_edges,
+        triangle_counts,
+    )
+
+    topk = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2)],  # 1<->2 mutual; 1->3, 3->2 not
+        "query_id long, nbr_id long",
+    )
+    assert [(r.a, r.b) for r in mutual_topk_edges(topk).collect()] == [(1, 2)]
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "vec_id long")
+    got = {
+        r.vec_id: (r.degree, r.n_triangles)
+        for r in triangle_counts(edges, nodes=nodes).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0), 5: (0, 0)}
+
+    # K4: 4 triangles total, every node in 3 of them, degree 3
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    g4 = {r.vec_id: (r.degree, r.n_triangles)
+          for r in triangle_counts(k4).collect()}
+    assert g4 == {i: (3, 3) for i in range(4)}
