@@ -449,3 +449,23 @@ def test_importance_weights_scores_only_and_xxhash_mode(spark):
     assert p.columns == ["doc_id", "n_feats", "logratio_micro", "selected"]
     rows = p.collect()
     assert len(rows) == 3 and sum(r.selected for r in rows) == 2
+
+
+def test_importance_weights_plan_broadcasts_model(spark):
+    """The scale contract: the log-ratio model table (bounded by
+    num_buckets rows) rides a broadcast join into the doc-feature
+    frame — the corpus is never shuffled by bucket for scoring."""
+    from hgcn_name_disambiguation_spark.operators.curation import (
+        importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = raw.where(F.col("doc_id") < 3)
+    plan = (
+        importance_weights(raw, tgt, num_buckets=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -133,3 +133,26 @@ def test_range_join_hand_computed(spark):
         if lu == ru and lt - 100 <= rt <= lt
     )
     assert got == brute == [(1, 10), (1, 11), (2, 13)]
+
+
+def test_temporal_plans_never_nested_loop(spark):
+    """Scale contract: range_join compiles to an equi-join (never a
+    cartesian / broadcast-nested-loop theta-join), and asof_join
+    compiles to a single window pass with NO join operator at all."""
+    from hgcn_name_disambiguation_spark.operators.temporal import range_join
+
+    left, right = _frames(spark)
+    rplan = (
+        range_join(left, right.select("user_id", "ts", "view_id"),
+                   on="user_id", window_us=60_000_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoopJoin" not in rplan
+    assert "Join" in rplan  # it IS a real (equi) join
+
+    aplan = (
+        asof_join(left, right, on="user_id", right_id="view_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in aplan and "Join" not in aplan
