@@ -3012,6 +3012,44 @@ FROM v LEFT JOIN deg d USING (vec_id) LEFT JOIN ntri n USING (vec_id)
 """
 
 
+def q64_funnel_stages(spark, sf):
+    """Ordered-sequence funnel over the events stream: per user, the
+    earliest view -> first click at-or-after it -> first purchase
+    at-or-after that, plus the stage reached. One conditional-min agg
+    per step, all keyed on user_id (partitioning reused, map-side
+    combined) — never a per-key event-list collect. Exact integer
+    epoch-microsecond outputs."""
+    from hgcn_name_disambiguation_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    e = _t(spark, sf, "events")
+    return funnel_stages(e, steps=["view", "click", "purchase"])
+
+
+Q64_SQL = r"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s0 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN us END) AS t0
+  FROM e GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, t0,
+         MIN(CASE WHEN event_type = 'click' AND us >= t0 THEN us END) AS t1
+  FROM e JOIN s0 USING (user_id) GROUP BY 1, 2),
+s2 AS (
+  SELECT e.user_id, t0, t1,
+         MIN(CASE WHEN event_type = 'purchase' AND us >= t1 THEN us END) AS t2
+  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2, 3)
+SELECT user_id,
+       CAST((t0 IS NOT NULL) AS INT) + CAST((t1 IS NOT NULL) AS INT)
+         + CAST((t2 IS NOT NULL) AS INT) AS stage,
+       t0 AS us_view, t1 AS us_click, t2 AS us_purchase
+FROM s2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3077,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_range_join_error_attribution": q61_range_join_error_attribution,
         "q62_event_time_windows": q62_event_time_windows,
         "q63_mutual_knn_triangles": q63_mutual_knn_triangles,
+        "q64_funnel_stages": q64_funnel_stages,
     }
 
 
@@ -3155,4 +3194,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_range_join_error_attribution": Q61_SQL,
         "q62_event_time_windows": Q62_SQL,
         "q63_mutual_knn_triangles": Q63_SQL,
+        "q64_funnel_stages": Q64_SQL,
     }

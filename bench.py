@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     # graph triangle counting (ID-oriented wedge join)
     "q62_event_time_windows",
     "q63_mutual_knn_triangles",
+    # round-5 funnel analysis (per-step conditional-min aggs on one key)
+    "q64_funnel_stages",
 ]
 
 

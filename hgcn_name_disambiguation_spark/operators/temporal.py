@@ -93,6 +93,61 @@ def range_join(
     return j.select(*out_cols)
 
 
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    on: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence (funnel) analysis: for each key, the earliest
+    completion time of each step GIVEN the previous step happened at
+    or before it — step i matches the earliest ``steps[i]`` event with
+    ``ts >= t_{i-1}`` — and the stage reached (0..len(steps)).
+
+    Returns (key, stage, us_<step1>, ..., us_<stepN>) with times as
+    exact integer epoch-microseconds (NULL once the funnel breaks).
+
+    Scale shape: one conditional-min aggregation per step, all keyed
+    on the SAME column — the first groupBy shuffles, every later
+    stage reuses that partitioning (no new Exchange), and each agg is
+    map-side combined. Never a per-key sort or event-list collect, so
+    a hot key costs a skewed agg, not a memory blowup.
+    """
+    us = _epoch_us(ts_col)
+    d = events.select(
+        F.col(on).alias("_k"), us.alias("_us"), F.col(type_col).alias("_t")
+    )
+    acc = d.groupBy("_k").agg(
+        F.min(F.when(F.col("_t") == steps[0], F.col("_us"))).alias("_s0")
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        acc = (
+            d.join(acc, "_k")
+            .groupBy("_k", *[f"_s{j}" for j in range(i)])
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("_t") == step)
+                        & (F.col("_us") >= F.col(f"_s{i-1}")),
+                        F.col("_us"),
+                    )
+                ).alias(f"_s{i}")
+            )
+        )
+    stage = sum(
+        (F.col(f"_s{i}").isNotNull()).cast("int") for i in range(len(steps))
+    )
+    return acc.select(
+        F.col("_k").alias(on),
+        stage.alias("stage"),
+        *[
+            F.col(f"_s{i}").alias(f"us_{s}")
+            for i, s in enumerate(steps)
+        ],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -156,3 +156,42 @@ def test_temporal_plans_never_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in aplan and "Join" not in aplan
+
+
+def test_funnel_stages_hand_computed(spark):
+    """Funnel ordering semantics: a click BEFORE the first view must
+    not count; a same-instant next step counts (>=); funnel breaks
+    stay NULL; users never entering stage 0 report stage 0."""
+    from hgcn_name_disambiguation_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    mk = F.expr(
+        "timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    rows = [
+        # u1: click@5 (too early), view@10, click@20, purchase@30 -> 3
+        (1, 5, "click"), (1, 10, "view"), (1, 20, "click"),
+        (1, 30, "purchase"),
+        # u2: view@10, purchase@20 but NO click -> stage 1
+        (2, 10, "view"), (2, 20, "purchase"),
+        # u3: view and click at the SAME instant -> >= lets it count
+        (3, 10, "view"), (3, 10, "click"),
+        # u4: clicks only -> stage 0
+        (4, 10, "click"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, us long, event_type string"
+    ).select("user_id", mk.alias("ts"), "event_type")
+    got = {
+        r.user_id: (r.stage, r.us_view, r.us_click, r.us_purchase)
+        for r in funnel_stages(
+            e, steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: (3, 10, 20, 30),
+        2: (1, 10, None, None),
+        3: (2, 10, 10, None),
+        4: (0, None, None, None),
+    }
