@@ -3050,6 +3050,72 @@ FROM s2
 """
 
 
+def q65_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) in md5 hash mode so the whole
+    pipeline — centroid draw, cell assignment, within-cell theta-join,
+    keep-farthest-from-centroid rule — is oracle-checked; the
+    production xxhash64 + auto-sized-cells path is unit-tested
+    (test_dedup). Integer/boolean outputs only."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(
+        e, theta=0.40, num_cells=16, hash_mode="md5"
+    )
+
+
+Q65_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+keyed AS (SELECT vec_id AS cid, emb AS cvec,
+                 md5('42:' || CAST(vec_id AS VARCHAR)) AS h
+          FROM v),
+lvl AS (SELECT CASE
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '000%') >= 16 THEN 3
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '00%') >= 16 THEN 2
+          WHEN (SELECT COUNT(*) FROM keyed WHERE h LIKE '0%') >= 16 THEN 1
+          ELSE 0 END AS pl),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cid) - 1 AS cell, cvec
+  FROM keyed, lvl
+  WHERE substr(h, 1, pl) = repeat('0', pl)
+  ORDER BY h, cid LIMIT 16),
+scored_cells AS (
+  SELECT x.vec_id, x.emb, c.cell,
+         ROUND(list_dot_product(x.emb, c.cvec)
+               / (sqrt(list_dot_product(x.emb, x.emb))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+  FROM v x, cents c),
+assign AS (
+  SELECT vec_id, emb, cell, cos AS cent_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cell DESC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           a.cent_cos AS a_cc, b.cent_cos AS b_cc,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+  WHERE cos >= 0.40),
+agg AS (
+  SELECT a_id, COUNT(*) AS n_theta_nbrs,
+         SUM(CASE WHEN b_cc > a_cc OR (b_cc = a_cc AND b_id < a_id)
+                  THEN 1 ELSE 0 END) AS n_dom
+  FROM pairs GROUP BY 1)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       CAST(COALESCE(g.n_theta_nbrs, 0) AS BIGINT) AS n_theta_nbrs,
+       COALESCE(g.n_dom, 0) = 0 AS kept
+FROM assign s LEFT JOIN agg g ON g.a_id = s.vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3116,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_event_time_windows": q62_event_time_windows,
         "q63_mutual_knn_triangles": q63_mutual_knn_triangles,
         "q64_funnel_stages": q64_funnel_stages,
+        "q65_semantic_dedup": q65_semantic_dedup,
     }
 
 
@@ -3195,4 +3262,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_event_time_windows": Q62_SQL,
         "q63_mutual_knn_triangles": Q63_SQL,
         "q64_funnel_stages": Q64_SQL,
+        "q65_semantic_dedup": Q65_SQL,
     }

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "q63_mutual_knn_triangles",
     # round-5 funnel analysis (per-step conditional-min aggs on one key)
     "q64_funnel_stages",
+    # round-5 SemDeDup: hash-min-k centroid draw + one within-cell
+    # theta self-join; kept = farthest-from-centroid per near-dup pair
+    "q65_semantic_dedup",
 ]
 
 

@@ -829,3 +829,107 @@ def remove_dup_spans(
         F.size(kept).alias("n_tokens_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    theta: float = 0.95,
+    num_cells: int | None = None,
+    rows_per_cell: int = 4096,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup in embedding space — coarse-quantize the corpus into cells,
+    then WITHIN each cell drop every item that has a >= theta cosine
+    neighbor closer to the cell centroid than itself.
+
+    The published rule, re-expressed as one equi-join: item x is
+    dropped iff exists same-cell y with round(cos(x,y),6) >= theta and
+    (cent_cos(y) > cent_cos(x)) or equal-and-smaller-id — i.e. of any
+    near-duplicate pair the item FARTHEST from the centroid is kept
+    (the paper's diversity-preserving choice), ties broken to the
+    smaller id. The rule is local and anti-symmetric per pair, so the
+    kept set is deterministic under any partitioning — no sequential
+    greedy scan, no driver loop.
+
+    Scale: centroids come from `sample_centroids` (hash-min-k,
+    driver holds num_cells rows); assignment is one narrow pass;
+    the only join is the within-cell self-join, bounded by
+    sum(cell_i^2) — `num_cells=None` sizes cells FROM THE DATA
+    (ceil(n / rows_per_cell)) so cell population stays ~constant as
+    the corpus grows; work grows linearly, never all-pairs.
+
+    Returns one row per item: (id, cell, n_theta_nbrs, kept).
+    Integer/boolean outputs only — hash-stable across engines.
+    """
+    from .similarity import cosine, sample_centroids
+
+    if num_cells is None:
+        n = emb.count()  # one scalar: sizes the quantizer from the data
+        num_cells = max(4, -(-n // rows_per_cell))
+    cent_vecs = sample_centroids(
+        emb, id_col, vec_col, num_cells, seed, hash_mode
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(vec, F.array(*[F.lit(x) for x in cv])), 6
+                    ).alias("cos"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in cent_vecs
+            ]
+        )
+
+    assigned = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("best", F.array_max(cell_scores(F.col("v"))))
+    assigned = assigned.select(
+        "vid",
+        "v",
+        F.col("best.cell").alias("cell"),
+        F.col("best.cos").alias("cent_cos"),
+    )
+
+    a = assigned.select(
+        F.col("vid").alias("a_id"),
+        F.col("v").alias("a_v"),
+        "cell",
+        F.col("cent_cos").alias("a_cc"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("b_id"),
+        F.col("v").alias("b_v"),
+        "cell",
+        F.col("cent_cos").alias("b_cc"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", F.round(cosine(F.col("a_v"), F.col("b_v")), 6))
+        .where(F.col("cos") >= F.lit(theta))
+    )
+    dominates = (F.col("b_cc") > F.col("a_cc")) | (
+        (F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id"))
+    )
+    per_item = pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_theta_nbrs"),
+        F.sum(F.when(dominates, 1).otherwise(0)).alias("_n_dom"),
+    )
+    return (
+        assigned.join(per_item, assigned["vid"] == per_item["a_id"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("n_theta_nbrs", F.lit(0))
+            .cast("long")
+            .alias("n_theta_nbrs"),
+            (F.coalesce("_n_dom", F.lit(0)) == 0).alias("kept"),
+        )
+    )

@@ -176,6 +176,15 @@ def brute_force_topk(
     if broadcast_queries:
         q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"))
+    # The broadcast cross join does O(|corpus| x |queries|) cosine work
+    # INSIDE the corpus scan stage — if the scan yields fewer partitions
+    # than cores (one small parquet file), the whole quadratic phase
+    # serializes onto one task (measured 60s -> 5s at 2k x 2k). Widen
+    # only when under-parallel: at real scale the corpus already has
+    # >> defaultParallelism partitions and this adds no Exchange.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     scored = c.crossJoin(q).select(
         "query_id",
         "nbr_id",
@@ -295,37 +304,25 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def sample_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
     num_cells: int = 16,
-    nprobe: int = 4,
     seed: int = 42,
     hash_mode: str = "xxhash64",
-) -> DataFrame:
-    """IVF coarse quantization: centroids = num_cells deterministic
-    corpus samples (seeded hash threshold — no RNG state, resume-safe);
-    vectors assigned to nearest centroid once; queries probe the
-    `nprobe` nearest cells. Candidate set = union of probed cells.
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded corpus sample used as coarse-quantizer
+    centroids (shared by ``ivf_topk`` and ``semantic_dedup``).
 
-    Centroid selection = hash-threshold FILTER (keep the 1/mod slice
-    of seeded hash values) + hash-min-k on the slice. The min-k
-    compiles to TakeOrderedAndProject — a per-partition heap of
-    num_cells rows merged at the driver: NO shuffle, NO exchange, NO
-    full-corpus sort (asserted by test on the physical plan). If the
-    corpus is too small to fill the slice, the slice widens
-    geometrically. Result is the global hash-min-k of the slice —
-    deterministic under any partitioning/layout.
-
-    ``hash_mode='md5'`` keys the sample on md5 hex strings with
-    '000'/'00'/'0'/'' prefix slices instead of xxhash64 pmod — the
-    identical algorithm in a hash family DuckDB also has, making the
-    whole IVF pipeline (sampling, assignment, probing, rescore)
-    oracle-checkable (q22)."""
+    Centroid selection = hash-threshold FILTER (keep the 1/mod slice of
+    seeded hash values) + hash-min-k on the slice; the min-k compiles
+    to TakeOrderedAndProject (per-partition heap, no shuffle / no full
+    sort). If the corpus is too small to fill the slice, the slice
+    widens geometrically. Result is the global hash-min-k of the slice
+    — deterministic under any partitioning/layout; the driver holds
+    exactly ``num_cells`` rows. ``hash_mode='md5'`` uses md5-hex
+    prefix slices so a DuckDB oracle can replicate the draw."""
     if hash_mode == "md5":
         keyed = corpus.select(
             F.col(id_col).alias("cid"),
@@ -364,8 +361,43 @@ def ivf_topk(
             if len(cents) >= num_cells or mod == 1:
                 break
             mod = max(1, mod >> 4)
-    cent_vecs = [(i, [float(x) for x in r.cvec]) for i, r in enumerate(cents)]
+    return [(i, [float(x) for x in r.cvec]) for i, r in enumerate(cents)]
 
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """IVF coarse quantization: centroids = num_cells deterministic
+    corpus samples (seeded hash threshold — no RNG state, resume-safe);
+    vectors assigned to nearest centroid once; queries probe the
+    `nprobe` nearest cells. Candidate set = union of probed cells.
+
+    Centroid selection = hash-threshold FILTER (keep the 1/mod slice
+    of seeded hash values) + hash-min-k on the slice. The min-k
+    compiles to TakeOrderedAndProject — a per-partition heap of
+    num_cells rows merged at the driver: NO shuffle, NO exchange, NO
+    full-corpus sort (asserted by test on the physical plan). If the
+    corpus is too small to fill the slice, the slice widens
+    geometrically. Result is the global hash-min-k of the slice —
+    deterministic under any partitioning/layout.
+
+    ``hash_mode='md5'`` keys the sample on md5 hex strings with
+    '000'/'00'/'0'/'' prefix slices instead of xxhash64 pmod — the
+    identical algorithm in a hash family DuckDB also has, making the
+    whole IVF pipeline (sampling, assignment, probing, rescore)
+    oracle-checkable (q22)."""
+    cent_vecs = sample_centroids(
+        corpus, id_col, vec_col, num_cells, seed, hash_mode
+    )
     def cell_scores(vec: Column) -> Column:
         return F.array(
             *[

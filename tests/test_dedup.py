@@ -330,3 +330,65 @@ def test_remove_dup_spans_hand_computed(spark):
     assert out[5] == (4, 4, "p q r s")   # no duplicated gram
     assert out[6] == (4, 0, "")          # hits 0/1 cover 0-3
     assert out[7] == (5, 1, "f")         # hits 0/1 cover 0-3, keep 4
+
+
+def _emb_corpus(spark):
+    # three tight pairs at distinct angles + two isolated points;
+    # within any cell the pairs are >=0.99 cosine, cross-pair <0.9
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),     # near-dup of 0, closer probe
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.999, 0.04, 0.0]),     # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 1.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),        # isolated-ish
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def test_semantic_dedup_hand_computed(spark):
+    from hgcn_name_disambiguation_spark.operators.dedup import semantic_dedup
+
+    # single cell => pure pairwise semantics, rule checkable by hand
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _emb_corpus(spark), theta=0.95, num_cells=1
+        ).collect()
+    }
+    assert len(out) == 6
+    # pairs (0,1) and (2,3) are >=0.95; of each pair exactly the member
+    # FARTHER from the centroid survives; 4 and 5 are untouched
+    assert out[4].kept and out[4].n_theta_nbrs == 0
+    assert out[5].kept and out[5].n_theta_nbrs == 0
+    assert out[0].n_theta_nbrs == 1 and out[1].n_theta_nbrs == 1
+    assert out[0].kept != out[1].kept
+    assert out[2].kept != out[3].kept
+
+
+def test_semantic_dedup_prod_mode_invariance(spark):
+    """xxhash64 + auto-sized cells: deterministic under repartitioning
+    and row order, and md5/xxhash64 modes agree on pure-pairwise
+    (single-cell) semantics."""
+    from hgcn_name_disambiguation_spark.operators.dedup import semantic_dedup
+
+    e = _emb_corpus(spark)
+    a = semantic_dedup(e, theta=0.95, num_cells=None, rows_per_cell=2)
+    b = semantic_dedup(
+        e.repartition(7).sortWithinPartitions(F.desc("vec_id")),
+        theta=0.95,
+        num_cells=None,
+        rows_per_cell=2,
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # auto-sizing engaged: 6 rows / 2 per cell >= 3 cells minimum 4
+    cells = {t[1] for t in ra}
+    assert len(cells) >= 2
+
+    m1 = sorted(map(tuple, semantic_dedup(e, theta=0.95, num_cells=1, hash_mode="md5").collect()))
+    m2 = sorted(map(tuple, semantic_dedup(e, theta=0.95, num_cells=1, hash_mode="xxhash64").collect()))
+    assert m1 == m2
