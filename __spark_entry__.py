@@ -3116,6 +3116,75 @@ FROM assign s LEFT JOIN agg g ON g.a_id = s.vec_id
 """
 
 
+def q66_pagerank(spark, sf):
+    """Integer-arithmetic PageRank (3 iterations, d=0.85) over the
+    same per-block evidence graph q37 walks — every update is floor
+    division on integer micro-units, so Spark and DuckDB agree
+    bit-for-bit (no float drift to hash-mismatch). Edge predicate is
+    q37's any-evidence rule for graph parity."""
+    from hgcn_name_disambiguation_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    edges = combined_edges(pubs, cfg).where(
+        (F.col("w_coauthor") > 0)
+        | (F.col("w_title") > 0)
+        | (F.col("w_venue") > 0)
+        | (F.col("title_cos") > 0)
+    )
+    return pagerank(edges, iterations=3)
+
+
+def _q66_sql(iterations: int = 3) -> str:
+    """PageRank oracle: the shared edges CTE symmetrized, then the
+    integer-micro-unit update unrolled one CTE per iteration —
+    teleport 150000 + sum((85 * rank) // (100 * deg)), BIGINT floor
+    division exactly as the Spark operator computes it."""
+    head = (
+        _ER_EDGES_CTE.rstrip()
+        + """,
+sym AS (
+  SELECT block_key, id_a AS src, id_b AS dst FROM edges
+  WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0
+  UNION ALL
+  SELECT block_key, id_b, id_a FROM edges
+  WHERE w_coauthor > 0 OR w_title > 0 OR w_venue > 0 OR title_cos > 0),
+deg AS (SELECT block_key, src, COUNT(*) AS deg FROM sym GROUP BY 1, 2),
+adj AS (SELECT s.block_key, s.src, s.dst, d.deg
+        FROM sym s JOIN deg d USING (block_key, src)),
+r0 AS (SELECT block_key, src AS node, CAST(1000000 AS BIGINT) AS rank_micro
+       FROM deg)"""
+    )
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(
+            f""",
+r{i} AS (
+  SELECT d.block_key, d.src AS node,
+         CAST(150000 + COALESCE(SUM(
+           (85 * r.rank_micro) // (100 * a.deg)), 0) AS BIGINT)
+           AS rank_micro
+  FROM deg d
+  LEFT JOIN adj a ON a.block_key = d.block_key AND a.dst = d.src
+  LEFT JOIN r{i - 1} r ON r.block_key = a.block_key AND r.node = a.src
+  GROUP BY 1, 2)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT r.block_key, r.node AS node_id, CAST(d.deg AS INT) AS deg,
+       r.rank_micro
+FROM r{iterations} r
+JOIN deg d ON d.block_key = r.block_key AND d.src = r.node
+"""
+    )
+
+
+Q66_SQL = _q66_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3183,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_mutual_knn_triangles": q63_mutual_knn_triangles,
         "q64_funnel_stages": q64_funnel_stages,
         "q65_semantic_dedup": q65_semantic_dedup,
+        "q66_pagerank": q66_pagerank,
     }
 
 
@@ -3263,4 +3333,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_mutual_knn_triangles": Q63_SQL,
         "q64_funnel_stages": Q64_SQL,
         "q65_semantic_dedup": Q65_SQL,
+        "q66_pagerank": Q66_SQL,
     }

@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     # round-5 SemDeDup: hash-min-k centroid draw + one within-cell
     # theta self-join; kept = farthest-from-centroid per near-dup pair
     "q65_semantic_dedup",
+    # round-5 integer-arithmetic PageRank (one join + one agg per
+    # iteration over the sparse evidence graph)
+    "q66_pagerank",
 ]
 
 
