@@ -3185,6 +3185,40 @@ JOIN deg d ON d.block_key = r.block_key AND d.src = r.node
 Q66_SQL = _q66_sql()
 
 
+def q67_distinct_sketch(spark, sf):
+    """Deterministic distinct-count sketch (threshold sampling + KMV)
+    per language over document texts — md5-keyed order statistics, so
+    DuckDB replays the sketch bit-for-bit. prefix_zeros=0 here (the
+    slice is the whole distinct set at these scales; the p>0 slicing
+    and auto-sizing paths are unit-tested in test_sketch)."""
+    from hgcn_name_disambiguation_spark.operators.sketch import (
+        distinct_sketch,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return distinct_sketch(docs, ["lang"], "text", k=64, prefix_zeros=0)
+
+
+Q67_SQL = """
+WITH s AS (
+  SELECT DISTINCT lang, md5('42:' || COALESCE(CAST(text AS VARCHAR), '')) AS h
+  FROM documents),
+r AS (
+  SELECT lang, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_slice
+  FROM s)
+SELECT lang, CAST(n_slice AS BIGINT) AS n_slice, h AS kth_hex,
+       CAST(n_slice AS BIGINT) AS est_threshold,
+       CASE WHEN n_slice < 64 THEN CAST(n_slice AS BIGINT)
+            ELSE CAST(FLOOR(63.0 * CAST(1152921504606846976 AS DOUBLE)
+                 / CAST(GREATEST(('0x' || substr(h, 1, 15))::BIGINT, 1)
+                        AS DOUBLE)) AS BIGINT)
+       END AS est_kmv
+FROM r WHERE rn = LEAST(64, n_slice)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3253,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_funnel_stages": q64_funnel_stages,
         "q65_semantic_dedup": q65_semantic_dedup,
         "q66_pagerank": q66_pagerank,
+        "q67_distinct_sketch": q67_distinct_sketch,
     }
 
 
@@ -3334,4 +3369,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_funnel_stages": Q64_SQL,
         "q65_semantic_dedup": Q65_SQL,
         "q66_pagerank": Q66_SQL,
+        "q67_distinct_sketch": Q67_SQL,
     }

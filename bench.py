@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     # round-5 integer-arithmetic PageRank (one join + one agg per
     # iteration over the sparse evidence graph)
     "q66_pagerank",
+    # round-5 deterministic distinct-count sketch (md5 order
+    # statistics: threshold sampling + KMV)
+    "q67_distinct_sketch",
 ]
 
 
