@@ -3219,6 +3219,97 @@ FROM r WHERE rn = LEAST(64, n_slice)
 """
 
 
+def q68_exact_percentiles(spark, sf):
+    """Exact nearest-rank percentiles (p50/p90/p99 of event value per
+    event_type) — the percentile_disc semantics: the selected rank is
+    the pure-integer formula (p*n + 99) div 100, and the output is a
+    VALUE FROM THE DATA (passthrough double), so nothing is computed
+    in float and both engines pick the identical row. One window
+    sort + one agg. At 100 TB the approx path is percentile_approx /
+    the q67 sketch family; this exact form is the oracle-checkable
+    rollup and the per-group sort is the unavoidable cost of exactness
+    (a single shuffle on the group key, sorted within partitions)."""
+    ev = _t(spark, sf, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def pick(p: int):
+        rank = F.expr(f"({p} * n + 99) div 100")
+        return F.max(F.when(F.col("rn") == rank, F.col("value"))).alias(
+            f"p{p}_value"
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(50),
+        pick(90),
+        pick(99),
+    )
+
+
+Q68_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50_value,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90_value,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99_value
+FROM r GROUP BY 1
+"""
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q69_retention_cohorts(spark, sf):
+    """Weekly retention cohorts: cohort = the user's first-activity
+    week (integer epoch-week index = unix_micros div WEEK_US), and for
+    each week offset >= 0 the count of distinct cohort users active
+    that week. Two shuffles on user_id (first-event agg + cohort join
+    — the cohort side is per-user, NOT assumed broadcastable) and one
+    (cohort, offset) distinct-count agg. Integer outputs only."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_WEEK_US}").alias(
+            "wk"
+        ),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            (F.col("cohort_wk") * F.lit(_WEEK_US)).alias("cohort_week_start_us"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+Q69_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+SELECT CAST(f.cohort_wk * {_WEEK_US} AS BIGINT) AS cohort_week_start_us,
+       CAST(e.wk - f.cohort_wk AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3288,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_semantic_dedup": q65_semantic_dedup,
         "q66_pagerank": q66_pagerank,
         "q67_distinct_sketch": q67_distinct_sketch,
+        "q68_exact_percentiles": q68_exact_percentiles,
+        "q69_retention_cohorts": q69_retention_cohorts,
     }
 
 
@@ -3370,4 +3463,6 @@ def oracle_sql() -> dict[str, str]:
         "q65_semantic_dedup": Q65_SQL,
         "q66_pagerank": Q66_SQL,
         "q67_distinct_sketch": Q67_SQL,
+        "q68_exact_percentiles": Q68_SQL,
+        "q69_retention_cohorts": Q69_SQL,
     }

@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     # round-5 deterministic distinct-count sketch (md5 order
     # statistics: threshold sampling + KMV)
     "q67_distinct_sketch",
+    # round-5 exact nearest-rank percentiles + weekly retention cohorts
+    "q68_exact_percentiles",
+    "q69_retention_cohorts",
 ]
 
 
