@@ -14,6 +14,7 @@ mapInPandas media plumbing) and get the driver's rows-only check.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from collections.abc import Callable
 
@@ -3310,6 +3311,222 @@ GROUP BY 1, 2
 """
 
 
+def q70_key_skew_profile(spark, sf):
+    """Shuffle-key skew diagnostic (round 5): top-10 heaviest
+    l_suppkey keys with exact counts + full-distribution HHI and
+    hot-key-over-average factor — the measurement the ER pipeline's
+    differentiated salting and AQE's skew threshold both start from.
+    Integer ppm via exact `div`; one count shuffle + one 1-row global
+    agg + TakeOrderedAndProject for the top-N."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return key_skew_profile(li, ["l_suppkey"], top_n=10)
+
+
+Q70_SQL = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+g AS (
+  SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+         SUM(cnt * cnt) AS sum_sq, MAX(cnt) AS max_cnt
+  FROM c),
+t AS (
+  SELECT l_suppkey, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, l_suppkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+  QUALIFY rank <= 10)
+SELECT t.l_suppkey,
+       CAST(t.cnt AS BIGINT) AS cnt,
+       CAST(t.rank AS INT) AS rank,
+       CAST((t.cnt * 1000000) // g.n_rows AS BIGINT) AS share_ppm,
+       CAST((t.cum * 1000000) // g.n_rows AS BIGINT) AS cum_share_ppm,
+       CAST(g.n_rows AS BIGINT) AS n_rows,
+       CAST(g.n_keys AS BIGINT) AS n_keys,
+       CAST((g.sum_sq * 1000000) // (g.n_rows * g.n_rows) AS BIGINT)
+         AS hhi_ppm,
+       CAST((g.max_cnt * g.n_keys * 1000000) // g.n_rows AS BIGINT)
+         AS max_over_avg_ppm
+FROM t, g
+"""
+
+
+def q71_cluster_drift(spark, sf):
+    """ER cluster-drift report (round 5): pair-level agreement between
+    the production clustering (tau=0.20) and a stricter candidate
+    (tau=0.35) — how many doc PAIRS stayed together / split / merged /
+    stayed apart, plus the exact Rand index in integer ppm. Label-
+    invariant (only co-membership compares), so the Spark CC labels
+    and the oracle's recursive-CTE labels need not align. The drift
+    table is what gates a threshold/model rollout at 100 TB: it reads
+    two cluster assignments, never the O(n^2) pair set."""
+    from hgcn_name_disambiguation_spark.operators.evaluate import (
+        clustering_agreement,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pubs = _docs_as_pubs(docs)
+    cfg = PipelineConfig(max_token_df_per_block=40)
+    cfg_b = dataclasses.replace(cfg, match_threshold=0.35)
+    edges = combined_edges(pubs, cfg)
+    ma = threshold_matches(fuse_scores(edges, cfg), cfg)
+    mb = threshold_matches(fuse_scores(edges, cfg_b), cfg_b)
+    ca = assign_clusters(pubs, ma, cfg)
+    cb = assign_clusters(pubs, mb, cfg)
+    return clustering_agreement(ca, cb)
+
+
+Q71_SQL = _ER_EDGES_CTE.replace("WITH pubs", "WITH RECURSIVE pubs", 1) + """,
+matches_a AS (
+  SELECT block_key, id_a, id_b FROM edges
+  WHERE (5 * LEAST(1.0, w_coauthor) + 1 * title_cos
+         + 4 * LEAST(1.0, w_venue)) / 10 > 0.20
+     OR (title_cos >= 0.80 AND w_title > 0)),
+matches_b AS (
+  SELECT block_key, id_a, id_b FROM edges
+  WHERE (5 * LEAST(1.0, w_coauthor) + 1 * title_cos
+         + 4 * LEAST(1.0, w_venue)) / 10 > 0.35
+     OR (title_cos >= 0.80 AND w_title > 0)),
+bi_a AS (
+  SELECT block_key, id_a AS a, id_b AS b FROM matches_a
+  UNION ALL
+  SELECT block_key, id_b AS a, id_a AS b FROM matches_a),
+bi_b AS (
+  SELECT block_key, id_a AS a, id_b AS b FROM matches_b
+  UNION ALL
+  SELECT block_key, id_b AS a, id_a AS b FROM matches_b),
+allnodes AS (
+  SELECT lang AS block_key, CAST(doc_id AS VARCHAR) AS a FROM documents),
+reach_a(block_key, a, b) AS (
+  SELECT block_key, a, a FROM allnodes
+  UNION
+  SELECT r.block_key, r.a, e.b
+  FROM reach_a r JOIN bi_a e ON r.block_key = e.block_key AND r.b = e.a),
+reach_b(block_key, a, b) AS (
+  SELECT block_key, a, a FROM allnodes
+  UNION
+  SELECT r.block_key, r.a, e.b
+  FROM reach_b r JOIN bi_b e ON r.block_key = e.block_key AND r.b = e.a),
+comp_a AS (
+  SELECT block_key, a AS pub_id, MIN(b) AS ca FROM reach_a GROUP BY 1, 2),
+comp_b AS (
+  SELECT block_key, a AS pub_id, MIN(b) AS cb FROM reach_b GROUP BY 1, 2),
+joined AS (
+  SELECT a.block_key, a.pub_id, a.ca, b.cb
+  FROM comp_a a JOIN comp_b b USING (block_key, pub_id)),
+cell AS (
+  SELECT block_key, SUM((n * (n - 1)) // 2) AS pairs_both_same
+  FROM (SELECT block_key, ca, cb, COUNT(*) AS n
+        FROM joined GROUP BY 1, 2, 3)
+  GROUP BY 1),
+pa AS (
+  SELECT block_key, SUM((n * (n - 1)) // 2) AS pairs_a
+  FROM (SELECT block_key, ca, COUNT(*) AS n FROM joined GROUP BY 1, 2)
+  GROUP BY 1),
+pb AS (
+  SELECT block_key, SUM((n * (n - 1)) // 2) AS pairs_b
+  FROM (SELECT block_key, cb, COUNT(*) AS n FROM joined GROUP BY 1, 2)
+  GROUP BY 1),
+tot AS (
+  SELECT block_key, COUNT(*) AS n_items FROM joined GROUP BY 1)
+SELECT t.block_key,
+       CAST(t.n_items AS BIGINT) AS n_items,
+       CAST((t.n_items * (t.n_items - 1)) // 2 AS BIGINT) AS pairs_total,
+       CAST(pa.pairs_a AS BIGINT) AS pairs_a,
+       CAST(pb.pairs_b AS BIGINT) AS pairs_b,
+       CAST(c.pairs_both_same AS BIGINT) AS pairs_both_same,
+       CAST(pa.pairs_a - c.pairs_both_same AS BIGINT) AS pairs_split,
+       CAST(pb.pairs_b - c.pairs_both_same AS BIGINT) AS pairs_merged,
+       CAST((t.n_items * (t.n_items - 1)) // 2 - pa.pairs_a - pb.pairs_b
+            + c.pairs_both_same AS BIGINT) AS pairs_both_diff,
+       CAST(((c.pairs_both_same + (t.n_items * (t.n_items - 1)) // 2
+              - pa.pairs_a - pb.pairs_b + c.pairs_both_same) * 1000000)
+            // ((t.n_items * (t.n_items - 1)) // 2) AS BIGINT) AS rand_ppm
+FROM tot t
+JOIN pa USING (block_key) JOIN pb USING (block_key)
+JOIN cell c USING (block_key)
+WHERE t.n_items >= 2
+"""
+
+
+def q72_distinctive_terms(spark, sf):
+    """Per-language salient vocabulary (round 5): tokens ranked by
+    document-frequency lift vs the corpus rate (integer ppm) — the
+    cluster/domain labeling staple of corpus composition reports.
+    Set-semantic token counts (array_distinct before explode), both
+    df aggs map-side combinable, group sizes broadcast."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        distinctive_terms,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return distinctive_terms(docs, "lang", k=5, min_group_df=3)
+
+
+Q72_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_distinct(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+           AS token
+  FROM documents),
+toks2 AS (SELECT lang, token FROM toks WHERE token <> ''),
+gdf AS (
+  SELECT lang, token, COUNT(*) AS df_group FROM toks2 GROUP BY 1, 2),
+cdf AS (SELECT token, COUNT(*) AS df_corpus FROM toks2 GROUP BY 1),
+ng AS (SELECT lang, COUNT(*) AS n_docs_group FROM documents GROUP BY 1),
+nc AS (SELECT COUNT(*) AS n_docs_corpus FROM documents),
+scored AS (
+  SELECT g.lang, g.token, g.df_group, c.df_corpus,
+         (g.df_group * nc.n_docs_corpus * 1000000)
+           // (c.df_corpus * ng.n_docs_group) AS lift_ppm
+  FROM gdf g JOIN cdf c USING (token) JOIN ng USING (lang), nc
+  WHERE g.df_group >= 3)
+SELECT lang, token,
+       CAST(df_group AS BIGINT) AS df_group,
+       CAST(df_corpus AS BIGINT) AS df_corpus,
+       CAST(lift_ppm AS BIGINT) AS lift_ppm,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY lift_ppm DESC, df_group DESC, token ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q73_rank_normalize(spark, sf):
+    """Per-group percentile-rank feature scaling in integer ppm
+    (round 5): average-rank semantics, so ties share one value and
+    the output is invariant to row order/partitioning — the scale-
+    free normalization for mixing heterogeneous quality scores before
+    training-data selection. One exchange (group-key window)."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        rank_normalize,
+    )
+
+    ev = _t(spark, sf, "events")
+    return rank_normalize(ev, ["event_type"], "value", "event_id")
+
+
+Q73_SQL = """
+SELECT event_type, event_id, value,
+       CAST(n AS BIGINT) AS n_in_group,
+       CAST(((2 * min_rank + ties - 1) * 500000) // n AS BIGINT)
+         AS pct_ppm
+FROM (SELECT event_type, event_id, value,
+             RANK() OVER (PARTITION BY event_type
+                          ORDER BY value ASC) AS min_rank,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             COUNT(*) OVER (PARTITION BY event_type, value) AS ties
+      FROM events)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3381,6 +3598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_distinct_sketch": q67_distinct_sketch,
         "q68_exact_percentiles": q68_exact_percentiles,
         "q69_retention_cohorts": q69_retention_cohorts,
+        "q70_key_skew_profile": q70_key_skew_profile,
+        "q71_cluster_drift": q71_cluster_drift,
+        "q72_distinctive_terms": q72_distinctive_terms,
+        "q73_rank_normalize": q73_rank_normalize,
     }
 
 
@@ -3465,4 +3686,8 @@ def oracle_sql() -> dict[str, str]:
         "q67_distinct_sketch": Q67_SQL,
         "q68_exact_percentiles": Q68_SQL,
         "q69_retention_cohorts": Q69_SQL,
+        "q70_key_skew_profile": Q70_SQL,
+        "q71_cluster_drift": Q71_SQL,
+        "q72_distinctive_terms": Q72_SQL,
+        "q73_rank_normalize": Q73_SQL,
     }

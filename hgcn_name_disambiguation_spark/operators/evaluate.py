@@ -77,3 +77,103 @@ def metrics_summary(per_block: DataFrame) -> DataFrame:
         F.avg("f1").alias("avg_f1"),
         F.count(F.lit(1)).alias("n_blocks"),
     )
+
+
+def clustering_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "pub_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pair-level agreement between two clusterings of the same items
+    (round 5) — the drift/stability report an ER pipeline publishes
+    when a threshold, model, or code version changes: how many item
+    PAIRS stayed together, were split, were merged, stayed apart.
+
+    Same closed form as pairwise_metrics (the reference's O(n^2)
+    pair loop, ``name_disambiguation.py:111-133``, done with
+    group-size combinatorics) but label-symmetric and INTEGER-exact:
+
+        pairs_total     = C(n, 2)            per block
+        pairs_a/pairs_b = sum C(size, 2)     within each clustering
+        both_same       = sum over (ca, cb) cells of C(size, 2)
+        split  = pairs_a - both_same   (together in A, apart in B)
+        merged = pairs_b - both_same   (apart in A, together in B)
+        both_diff = total - pairs_a - pairs_b + both_same
+        rand_ppm  = (both_same + both_diff) * 1e6 div total
+
+    Cluster LABELS never compare across the two sides — only
+    co-membership does — so the metric is invariant to labeling
+    scheme (CC min-id vs dense re-index vs anything else).
+
+    Returns one row per block with the integer pair counts plus
+    rand_ppm (Rand index in parts-per-million, exact `div`). Blocks
+    with < 2 items are dropped (no pairs to agree on).
+
+    Scale shape: an inner join on (block, id) followed by three
+    map-side-combinable count aggs over cluster-size frames — the
+    contingency table is |clusters_a x clusters_b touched| rows per
+    block, never the O(n^2) pair set.
+    """
+    ca = a.select(
+        F.col(block_col).alias("bk"),
+        F.col(id_col).alias("iid"),
+        F.col(cluster_col).alias("_ca"),
+    )
+    cb = b.select(
+        F.col(block_col).alias("bk"),
+        F.col(id_col).alias("iid"),
+        F.col(cluster_col).alias("_cb"),
+    )
+    j = ca.join(cb, ["bk", "iid"])
+
+    def _pairs(grouped, out: str) -> DataFrame:
+        # n*(n-1) is always even: exact integer division, no doubles.
+        return grouped.agg(
+            F.sum(F.expr("(n * (n - 1)) div 2")).cast("long").alias(out)
+        )
+
+    cell = j.groupBy("bk", "_ca", "_cb").agg(F.count(F.lit(1)).alias("n"))
+    both_same = _pairs(cell.groupBy("bk"), "pairs_both_same")
+    sa = j.groupBy("bk", "_ca").agg(F.count(F.lit(1)).alias("n"))
+    pa = _pairs(sa.groupBy("bk"), "pairs_a")
+    sb = j.groupBy("bk", "_cb").agg(F.count(F.lit(1)).alias("n"))
+    pb = _pairs(sb.groupBy("bk"), "pairs_b")
+    tot = j.groupBy("bk").agg(F.count(F.lit(1)).alias("n_items"))
+    out = (
+        tot.join(pa, "bk")
+        .join(pb, "bk")
+        .join(both_same, "bk")
+        .where(F.col("n_items") >= 2)
+        .select(
+            F.col("bk").alias(block_col),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.expr("(n_items * (n_items - 1)) div 2").alias(
+                "pairs_total"
+            ),
+            "pairs_a",
+            "pairs_b",
+            "pairs_both_same",
+        )
+        .withColumn(
+            "pairs_split", F.expr("pairs_a - pairs_both_same")
+        )
+        .withColumn(
+            "pairs_merged", F.expr("pairs_b - pairs_both_same")
+        )
+        .withColumn(
+            "pairs_both_diff",
+            F.expr(
+                "pairs_total - pairs_a - pairs_b + pairs_both_same"
+            ),
+        )
+        .withColumn(
+            "rand_ppm",
+            F.expr(
+                "((pairs_both_same + pairs_both_diff) * 1000000)"
+                " div pairs_total"
+            ),
+        )
+    )
+    return out

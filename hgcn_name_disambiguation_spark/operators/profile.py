@@ -1,0 +1,219 @@
+"""Dataset profiling & preprocessing ops a 100-TB pipeline runs
+BEFORE committing to a partitioning strategy (round 5).
+
+Three ops, all integer-valued outputs (cross-engine hash-stable —
+the q42/q50 lesson: never emit free doubles):
+
+- ``key_skew_profile`` — the diagnostic you run before choosing a
+  shuffle key: per-key counts for the top-N heaviest keys plus the
+  global concentration (HHI) of the FULL key distribution. The ER
+  pipeline's differentiated salting (clustering.py) and AQE's
+  skew-join threshold both reason from exactly this measurement.
+- ``rank_normalize`` — per-group percentile-rank feature scaling in
+  integer parts-per-million (average rank, so ties share one value
+  and the output is invariant to row order/partitioning — the
+  scale-free normalization used to mix heterogeneous quality scores
+  before training-data selection).
+- ``distinctive_terms`` — per-group salient vocabulary: tokens
+  ranked by lift = group document frequency relative to corpus
+  document frequency (integer ppm) — the cluster/domain labeling
+  staple for corpus composition reports.
+
+All ppm columns use exact integral division (`div`) over longs —
+never a rounded double. At extreme scale the HHI numerator
+(sum(cnt^2) * 1e6) can exceed int64; the 100-TB path is the same
+formula over DECIMAL(38,0), noted inline where it applies.
+
+Scale shapes are documented per function; none is all-pairs, none
+collects to the driver beyond the requested top-N rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_PPM = 1_000_000
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-N heaviest keys with exact counts + global skew stats.
+
+    Returns one row per top-N key, ordered by (cnt DESC, key ASC)
+    with a deterministic total order:
+      (key..., cnt, rank, share_ppm, cum_share_ppm,
+       n_rows, n_keys, hhi_ppm, max_over_avg_ppm)
+    where hhi_ppm = sum(cnt^2) * 1e6 div n_rows^2 (Herfindahl
+    concentration of the FULL key distribution, not just the top-N;
+    1e6 = one key holds everything, 1e6/n_keys = perfectly uniform)
+    and max_over_avg_ppm = max(cnt) * n_keys * 1e6 div n_rows (the
+    hot-key-over-average skew factor). All integers; exact `div`.
+
+    Scale shape: ONE map-side-combined shuffle on the key produces
+    the per-key counts; the global stats are one full agg over the
+    per-key frame (a single row, broadcast back); the top-N is
+    TakeOrderedAndProject (per-partition heap, driver merges top_n
+    rows — never a global sort). The per-key frame is
+    |distinct keys| rows, never the raw table. Output <= top_n rows
+    by construction. At >3e9-row inputs switch the hhi numerator to
+    DECIMAL(38,0) — sum(cnt^2)*1e6 can exceed int64 there.
+    """
+    kcols = [F.col(k) for k in keys]
+    counts = df.groupBy(*kcols).agg(F.count(F.lit(1)).alias("cnt"))
+    glob = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_sum_sq"),
+        F.max("cnt").alias("_max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys]).limit(
+        top_n
+    )
+    w = Window.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+    ranked = top.select(
+        *keys,
+        "cnt",
+        # windows run over <= top_n rows (post-limit) — bounded.
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+    )
+    return ranked.crossJoin(F.broadcast(glob)).select(
+        *keys,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("int").alias("rank"),
+        F.expr(f"(cnt * {_PPM}) div n_rows").alias("share_ppm"),
+        F.expr(f"(_cum * {_PPM}) div n_rows").alias("cum_share_ppm"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr(f"(_sum_sq * {_PPM}) div (n_rows * n_rows)").alias(
+            "hhi_ppm"
+        ),
+        F.expr(f"(_max_cnt * n_keys * {_PPM}) div n_rows").alias(
+            "max_over_avg_ppm"
+        ),
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile-rank normalization in integer ppm.
+
+    pct_ppm = avg_rank * 1e6 div n, where avg_rank is the AVERAGE
+    rank of the value's tie group — ties share one value, so the
+    output is a pure function of the VALUE within its group (row
+    order and partitioning cannot change it). 2*avg_rank =
+    2*min_rank + ties - 1 is always an integer, so the ppm output is
+    exact: pct_ppm = (2*min_rank + ties - 1) * 500000 div n.
+
+    Returns (keys..., id_col, value_col, n_in_group, pct_ppm).
+
+    Scale shape: one shuffle on the group key with an in-partition
+    sort (rank window) — the same single-exchange shape as any
+    per-group window (the tie-count window shares the exchange: its
+    partition key is a superset prefix); no driver collection. The
+    scale-free output is what lets heterogeneous per-source quality
+    scores be mixed into one selection threshold (DSIR/quality-
+    filter prep).
+    """
+    kcols = list(keys)
+    w = Window.partitionBy(*kcols).orderBy(F.col(value_col).asc())
+    wg = Window.partitionBy(*kcols)
+    ranked = df.select(
+        *kcols,
+        id_col,
+        value_col,
+        F.rank().over(w).alias("_min_rank"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*kcols, value_col))
+        .alias("_ties"),
+    )
+    return ranked.select(
+        *kcols,
+        id_col,
+        value_col,
+        F.col("_n").cast("long").alias("n_in_group"),
+        F.expr(
+            f"((2 * _min_rank + _ties - 1) * {_PPM // 2}) div _n"
+        ).alias("pct_ppm"),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    text_col: str = "text",
+    min_group_df: int = 3,
+) -> DataFrame:
+    """Top-k distinctive tokens per group by document-frequency lift.
+
+    For each (group, token): df_group = #docs in the group containing
+    the token (set semantics — distinct per doc), df_corpus = #docs
+    anywhere containing it. lift_ppm = df_group * n_docs_corpus *
+    1e6 div (df_corpus * n_docs_group) — 1e6 means exactly the
+    corpus rate, higher means over-represented in the group. Tokens
+    with df_group < min_group_df are dropped (rare-token noise); the
+    top-k per group is taken by (lift_ppm DESC, df_group DESC,
+    token ASC) — a deterministic total order.
+
+    Returns (group, token, df_group, df_corpus, lift_ppm, rank).
+
+    Scale shape: tokens are array_distinct'd per doc before
+    exploding, so both df aggs are map-side combinable; the
+    corpus-df frame joins on the token key (one shuffle); the group
+    sizes and corpus size are broadcast (|groups| rows and 1 row);
+    the top-k rank window runs over the per-group token frame —
+    bounded by per-group vocabulary, never corpus size.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(F.split(norm, " "))).alias("token"),
+    ).where(F.col("token") != "")
+    gdf = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("df_group")
+    )
+    cdf = toks.groupBy("token").agg(F.sum(F.lit(1)).alias("df_corpus"))
+    ndocs_g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs_group")
+    )
+    n_corpus = df.agg(F.count(F.lit(1)).alias("n_docs_corpus"))
+    scored = (
+        gdf.where(F.col("df_group") >= min_group_df)
+        .join(cdf, "token")
+        .join(F.broadcast(ndocs_g), "grp")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "grp",
+            "token",
+            "df_group",
+            "df_corpus",
+            F.expr(
+                f"(df_group * n_docs_corpus * {_PPM})"
+                " div (df_corpus * n_docs_group)"
+            ).alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("lift_ppm"), F.desc("df_group"), F.asc("token")
+    )
+    return scored.select(
+        F.col("grp").alias(group_col),
+        "token",
+        F.col("df_group").cast("long").alias("df_group"),
+        F.col("df_corpus").cast("long").alias("df_corpus"),
+        "lift_ppm",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= k)

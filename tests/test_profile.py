@@ -1,0 +1,140 @@
+"""profile.py (skew / rank-normalize / distinctive-terms) and
+evaluate.clustering_agreement — hand-computed expectations."""
+
+from pyspark.sql import functions as F
+
+from hgcn_name_disambiguation_spark.operators.evaluate import (
+    clustering_agreement,
+)
+from hgcn_name_disambiguation_spark.operators.profile import (
+    distinctive_terms,
+    key_skew_profile,
+    rank_normalize,
+)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    # counts: a=4, b=2, c=1, d=1 -> n_rows=8, n_keys=4,
+    # sum_sq=22, hhi = 22e6 // 64 = 343750,
+    # max_over_avg = 4 * 4 * 1e6 // 8 = 2_000_000.
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = {
+        r["rank"]: r
+        for r in key_skew_profile(df, ["k"], top_n=2).collect()
+    }
+    assert set(out) == {1, 2}
+    a, b = out[1], out[2]
+    assert (a["k"], a["cnt"], a["share_ppm"], a["cum_share_ppm"]) == (
+        "a", 4, 500000, 500000,
+    )
+    assert (b["k"], b["cnt"], b["share_ppm"], b["cum_share_ppm"]) == (
+        "b", 2, 250000, 750000,
+    )
+    for r in (a, b):
+        assert (r["n_rows"], r["n_keys"]) == (8, 4)
+        assert r["hhi_ppm"] == 343750
+        assert r["max_over_avg_ppm"] == 2_000_000
+
+
+def test_key_skew_profile_tie_break_is_key_order(spark):
+    df = spark.createDataFrame(
+        [("z",), ("y",), ("y",), ("x",), ("x",)], ["k"]
+    )
+    out = key_skew_profile(df, ["k"], top_n=3).collect()
+    assert [(r["k"], r["rank"]) for r in out] == [
+        ("x", 1), ("y", 2), ("z", 3),
+    ]
+
+
+def test_rank_normalize_average_rank_ties(spark):
+    # group g values [10, 20, 20, 30]:
+    #   10 -> avg rank 1   -> 250000
+    #   20 -> avg rank 2.5 -> 625000 (both tied rows identical)
+    #   30 -> avg rank 4   -> 1000000
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 20.0), ("g", 4, 30.0)],
+        ["grp", "rid", "v"],
+    )
+    out = {
+        r["rid"]: r["pct_ppm"]
+        for r in rank_normalize(df, ["grp"], "v", "rid").collect()
+    }
+    assert out == {1: 250000, 2: 625000, 3: 625000, 4: 1000000}
+
+
+def test_rank_normalize_invariant_to_row_order(spark):
+    rows = [("g", i, float(v)) for i, v in enumerate([5, 1, 3, 3, 9, 1])]
+    df = spark.createDataFrame(rows, ["grp", "rid", "v"])
+    base = sorted(
+        (r["rid"], r["pct_ppm"])
+        for r in rank_normalize(df, ["grp"], "v", "rid").collect()
+    )
+    shuffled = df.orderBy(F.desc("v")).repartition(7)
+    again = sorted(
+        (r["rid"], r["pct_ppm"])
+        for r in rank_normalize(shuffled, ["grp"], "v", "rid").collect()
+    )
+    assert base == again
+
+
+def test_distinctive_terms_lift(spark):
+    # group x: 3 docs all containing 'alpha' and 'common';
+    # group y: 3 docs containing only 'common'.
+    # lift(x, alpha)  = 3*6e6 // (3*3) = 2_000_000
+    # lift(*, common) = 3*6e6 // (6*3) = 1_000_000
+    rows = [
+        ("x", i, "alpha common") for i in range(3)
+    ] + [("y", i + 3, "common") for i in range(3)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+    out = distinctive_terms(df, "lang", k=5, min_group_df=3).collect()
+    got = {(r["lang"], r["token"]): (r["lift_ppm"], r["rank"]) for r in out}
+    assert got[("x", "alpha")] == (2_000_000, 1)
+    assert got[("x", "common")] == (1_000_000, 2)
+    assert got[("y", "common")] == (1_000_000, 1)
+    # df_group < min_group_df never appears
+    assert all(r["df_group"] >= 3 for r in out)
+
+
+def test_clustering_agreement_hand_computed(spark):
+    # A: {1,2} {3,4}   B: {1,2,3} {4}
+    # total=6 pairs_a=2 pairs_b=3 both_same=1
+    # split=1 merged=2 both_diff=2 rand = 3e6 // 6 = 500000
+    a = spark.createDataFrame(
+        [("blk", "1", "c1"), ("blk", "2", "c1"),
+         ("blk", "3", "c2"), ("blk", "4", "c2")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    b = spark.createDataFrame(
+        [("blk", "1", "z9"), ("blk", "2", "z9"),
+         ("blk", "3", "z9"), ("blk", "4", "w0")],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    [r] = clustering_agreement(a, b).collect()
+    assert r["n_items"] == 4
+    assert r["pairs_total"] == 6
+    assert r["pairs_a"] == 2
+    assert r["pairs_b"] == 3
+    assert r["pairs_both_same"] == 1
+    assert r["pairs_split"] == 1
+    assert r["pairs_merged"] == 2
+    assert r["pairs_both_diff"] == 2
+    assert r["rand_ppm"] == 500000
+
+
+def test_clustering_agreement_label_invariant(spark):
+    a = spark.createDataFrame(
+        [("blk", str(i), f"c{i % 2}") for i in range(6)],
+        ["block_key", "pub_id", "cluster_id"],
+    )
+    relabeled = a.withColumn(
+        "cluster_id", F.concat(F.lit("XX_"), F.col("cluster_id"))
+    )
+    [r] = clustering_agreement(a, relabeled).collect()
+    assert r["rand_ppm"] == 1_000_000
+    assert r["pairs_split"] == 0 and r["pairs_merged"] == 0
+
+    singleton = spark.createDataFrame(
+        [("solo", "1", "c")], ["block_key", "pub_id", "cluster_id"]
+    )
+    assert clustering_agreement(singleton, singleton).count() == 0
