@@ -3527,6 +3527,53 @@ FROM (SELECT event_type, event_id, value,
 """
 
 
+def q74_blocking_stats(spark, sf):
+    """Blocking-scheme capacity report (round 5): candidate-pair
+    counts + reduction ratio (Christen 2012) for three alternative
+    blocking keys over the documents-as-pubs corpus — the measurement
+    an ER engine runs BEFORE paying for candidate generation. One
+    block-size shuffle + one single-row agg per scheme; never pairs."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        blocking_stats,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return blocking_stats(
+        docs,
+        {
+            "lang": ["lang"],
+            "source": ["source"],
+            "lang_source": ["lang", "source"],
+        },
+    )
+
+
+Q74_SQL = """
+WITH s1 AS (SELECT COUNT(*) AS n FROM documents GROUP BY lang),
+s2 AS (SELECT COUNT(*) AS n FROM documents GROUP BY source),
+s3 AS (SELECT COUNT(*) AS n FROM documents GROUP BY lang, source),
+u AS (
+  SELECT 'lang' AS scheme, SUM(n) AS n_items, COUNT(*) AS n_blocks,
+         MAX(n) AS max_block, SUM((n * (n - 1)) // 2) AS candidate_pairs
+  FROM s1
+  UNION ALL
+  SELECT 'source', SUM(n), COUNT(*), MAX(n), SUM((n * (n - 1)) // 2)
+  FROM s2
+  UNION ALL
+  SELECT 'lang_source', SUM(n), COUNT(*), MAX(n), SUM((n * (n - 1)) // 2)
+  FROM s3)
+SELECT scheme,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(max_block AS BIGINT) AS max_block,
+       CAST(candidate_pairs AS BIGINT) AS candidate_pairs,
+       CAST((((n_items * (n_items - 1)) // 2 - candidate_pairs)
+             * 1000000) // ((n_items * (n_items - 1)) // 2) AS BIGINT)
+         AS reduction_ratio_ppm
+FROM u
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3602,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_cluster_drift": q71_cluster_drift,
         "q72_distinctive_terms": q72_distinctive_terms,
         "q73_rank_normalize": q73_rank_normalize,
+        "q74_blocking_stats": q74_blocking_stats,
     }
 
 
@@ -3690,4 +3738,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_cluster_drift": Q71_SQL,
         "q72_distinctive_terms": Q72_SQL,
         "q73_rank_normalize": Q73_SQL,
+        "q74_blocking_stats": Q74_SQL,
     }

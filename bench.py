@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     # round-5 exact nearest-rank percentiles + weekly retention cohorts
     "q68_exact_percentiles",
     "q69_retention_cohorts",
+    # round-5 profiling ops: skew diagnostic (count-shuffle +
+    # TakeOrderedAndProject), lift-ranked salient terms, single-
+    # exchange percentile-rank scaling
+    "q70_key_skew_profile",
+    "q72_distinctive_terms",
+    "q73_rank_normalize",
 ]
 
 

@@ -289,6 +289,16 @@ class PipelineConfig:
     semantic_merge_mutual_floor_common: float = 0.65
     semantic_merge_mutual_floor_amb: float = 0.55
     semantic_merge_maxdoc_theta_amb: float = 0.92
+    # maxdoc in COMMON-tier blocks (window [maxdoc_floor, theta_common)
+    # = [0.60, 0.80)): same member-pair rescue as the amb tier.
+    # Measured round 5 on the 114 labeled blocks: 0.95 AND 0.92 are
+    # strict no-ops (macro F1 stays 0.8398 to 4 decimals — no
+    # common-tier centroid pair in the window carries a >=0.92 member
+    # pair), so the rule stays disabled (2.0) for this tier. Also
+    # measured in the same batch: semantic_merge_rounds=3 is a no-op
+    # (the 2-round fixpoint already converges) and mutual singleton
+    # margin 0.25 regresses (0.8397, precision bleed) — 0.30 stands.
+    semantic_merge_maxdoc_theta_common: float = 2.0
     semantic_merge_maxdoc_floor: float = 0.60
     w2v_dim: int = 100
     w2v_window: int = 8           # must span the appended venue tokens

@@ -101,6 +101,58 @@ def key_skew_profile(
     )
 
 
+def blocking_stats(
+    df: DataFrame,
+    schemes: dict[str, Sequence[str]],
+) -> DataFrame:
+    """Blocking-scheme capacity report (round 5) — the ER textbook
+    numbers you compute BEFORE running candidate generation: for each
+    proposed blocking key, how many candidate pairs would the scheme
+    admit and how much of the quadratic all-pairs space does it prune
+    (reduction ratio, Christen 2012). The reference hard-codes ONE
+    scheme (the normalized name key); an engine serving many corpora
+    needs to measure alternatives before paying for them.
+
+    ``schemes`` maps scheme name -> grouping columns. Returns one row
+    per scheme: (scheme, n_items, n_blocks, max_block,
+    candidate_pairs, reduction_ratio_ppm) where candidate_pairs =
+    sum over blocks of C(size, 2) and reduction_ratio_ppm =
+    (total_pairs - candidate_pairs) * 1e6 div total_pairs with
+    total_pairs = C(n_items, 2). All integers, exact `div`.
+
+    Scale shape: per scheme ONE map-side-combined count shuffle over
+    the key + one single-row agg — the block-size frame, never pairs.
+    Rows-with-null keys form their own block per SQL grouping, same
+    as the engine's parse-stage behavior.
+    """
+    outs = []
+    for name, keys in schemes.items():
+        sizes = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            sizes.agg(
+                F.lit(name).alias("scheme"),
+                F.sum("n").cast("long").alias("n_items"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.max("n").cast("long").alias("max_block"),
+                F.sum(F.expr("(n * (n - 1)) div 2"))
+                .cast("long")
+                .alias("candidate_pairs"),
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.withColumn(
+        "reduction_ratio_ppm",
+        F.expr(
+            "(((n_items * (n_items - 1)) div 2 - candidate_pairs)"
+            " * 1000000) div ((n_items * (n_items - 1)) div 2)"
+        ),
+    )
+
+
 def rank_normalize(
     df: DataFrame,
     keys: Sequence[str],

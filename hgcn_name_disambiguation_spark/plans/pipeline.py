@@ -324,10 +324,17 @@ def _semantic_merge_stage(
         )
         .otherwise(F.lit(config.semantic_merge_mutual_floor_amb))
     )
-    maxdoc_theta = F.when(
-        F.col("tier") == "amb",
-        F.lit(config.semantic_merge_maxdoc_theta_amb),
-    ).otherwise(F.lit(2.0))
+    maxdoc_theta = (
+        F.when(
+            F.col("tier") == "amb",
+            F.lit(config.semantic_merge_maxdoc_theta_amb),
+        )
+        .when(
+            F.col("tier") == "common",
+            F.lit(config.semantic_merge_maxdoc_theta_common),
+        )
+        .otherwise(F.lit(2.0))
+    )
     eligible = (
         ctx.traits.where(F.col("sparse"))
         .withColumn("theta", theta)

@@ -138,3 +138,29 @@ def test_clustering_agreement_label_invariant(spark):
         [("solo", "1", "c")], ["block_key", "pub_id", "cluster_id"]
     )
     assert clustering_agreement(singleton, singleton).count() == 0
+
+
+def test_blocking_stats_hand_computed(spark):
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        blocking_stats,
+    )
+
+    # 6 rows: lang blocks {a:4, b:2} -> pairs 6+1=7; (lang,src)
+    # blocks {a/x:3, a/y:1, b/x:2} -> pairs 3+0+1=4; total C(6,2)=15.
+    rows = [
+        ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+        ("b", "x"), ("b", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "source"])
+    out = {
+        r["scheme"]: r
+        for r in blocking_stats(
+            df, {"lang": ["lang"], "both": ["lang", "source"]}
+        ).collect()
+    }
+    l, b = out["lang"], out["both"]
+    assert (l["n_items"], l["n_blocks"], l["max_block"]) == (6, 2, 4)
+    assert l["candidate_pairs"] == 7
+    assert l["reduction_ratio_ppm"] == (15 - 7) * 1_000_000 // 15
+    assert (b["n_blocks"], b["candidate_pairs"]) == (3, 4)
+    assert b["reduction_ratio_ppm"] == (15 - 4) * 1_000_000 // 15
