@@ -164,3 +164,60 @@ def test_blocking_stats_hand_computed(spark):
     assert l["reduction_ratio_ppm"] == (15 - 7) * 1_000_000 // 15
     assert (b["n_blocks"], b["candidate_pairs"]) == (3, 4)
     assert b["reduction_ratio_ppm"] == (15 - 4) * 1_000_000 // 15
+
+
+def test_profile_invariants_random_frame(spark):
+    """Invariant classes on one seeded random frame: pct_ppm bounds +
+    monotonicity in value; skew shares sum/bounds; blocking scheme
+    REFINEMENT can only shrink blocks and candidate pairs."""
+    import random
+
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        blocking_stats,
+        key_skew_profile,
+        rank_normalize,
+    )
+
+    rng = random.Random(421)
+    rows = [
+        (
+            f"g{rng.randrange(3)}",
+            i,
+            float(rng.randrange(20)),
+            f"s{rng.randrange(5)}",
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "rid", "v", "src"])
+
+    rn = rank_normalize(df, ["grp"], "v", "rid").collect()
+    assert all(0 < r["pct_ppm"] <= 1_000_000 for r in rn)
+    by_grp = {}
+    for r in rn:
+        by_grp.setdefault(r["grp"], []).append((r["v"], r["pct_ppm"]))
+    for vals in by_grp.values():
+        vals.sort()
+        # equal values share one pct; larger values never rank lower
+        seen = {}
+        for v, p in vals:
+            assert seen.setdefault(v, p) == p
+        pcts = [p for _, p in sorted(seen.items())]
+        assert pcts == sorted(pcts)
+
+    sk = key_skew_profile(df, ["grp"], top_n=10).collect()
+    assert sum(r["cnt"] for r in sk) == 200  # 3 keys, all in top-10
+    for r in sk:
+        assert 0 < r["share_ppm"] <= r["cum_share_ppm"] <= 1_000_000
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+
+    bs = {
+        r["scheme"]: r
+        for r in blocking_stats(
+            df, {"coarse": ["grp"], "fine": ["grp", "src"]}
+        ).collect()
+    }
+    c, f = bs["coarse"], bs["fine"]
+    assert f["n_blocks"] >= c["n_blocks"]
+    assert f["max_block"] <= c["max_block"]
+    assert f["candidate_pairs"] <= c["candidate_pairs"]
+    assert f["reduction_ratio_ppm"] >= c["reduction_ratio_ppm"]
