@@ -3574,6 +3574,111 @@ FROM u
 """
 
 
+def q75_source_entropy(spark, sf):
+    """Corpus-diversity report (round 5): per-source token-
+    distribution Shannon entropy in integer micro-nats — low entropy
+    flags templated/boilerplate-heavy sources before mixing weights
+    are chosen. q50's integer micro-unit encoding applied to entropy:
+    exact sums + `div`, no cross-engine DOUBLE mean."""
+    docs = _t(spark, sf, "documents")
+    return textstats.token_entropy(docs, "source")
+
+
+Q75_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+',
+                                            ' ', 'g'), ' ')) AS token
+  FROM documents),
+c AS (
+  SELECT source, token, COUNT(*) AS c
+  FROM toks WHERE token <> '' GROUP BY 1, 2),
+g AS (
+  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+         SUM(c * CAST(FLOOR(1000000 * ln(c)) AS BIGINT)) AS s
+  FROM c GROUP BY 1)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
+       CAST(FLOOR(1000000 * ln(n_tokens)) AS BIGINT) - s // n_tokens
+         AS entropy_micro_nats
+FROM g
+"""
+
+
+def q76_mutual_knn_components(spark, sf):
+    """Embedding-manifold QA #3 (round 5): connected components of
+    the mutual top-5 cosine kNN graph, reported as a component-SIZE
+    histogram — how much of the embedding space is one blob vs
+    isolated points (label-free, so the CC labeling scheme never
+    compares across engines). Composes q16's brute top-k, q63's
+    mutual-edge builder, and the engine's large-star/small-star CC."""
+    from hgcn_name_disambiguation_spark.operators.clustering import (
+        connected_components,
+    )
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        mutual_topk_edges,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    topk = brute_force_topk(
+        e,
+        e.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+        exclude_self=True,
+    )
+    edges = mutual_topk_edges(topk).select(
+        F.col("a").cast("string").alias("src"),
+        F.col("b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    nodes = e.select(F.col("vec_id").cast("string").alias("_node"))
+    wc = nodes.join(comp, nodes["_node"] == comp["node"], "left").select(
+        F.coalesce("component", "_node").alias("_comp")
+    )
+    sizes = wc.groupBy("_comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.groupBy(
+        F.col("n_members").cast("long").alias("component_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+
+
+Q76_SQL = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         ROUND(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+topk AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id ASC) AS rank
+    FROM scored) WHERE rank <= 5),
+edges AS (
+  SELECT CAST(t.query_id AS VARCHAR) AS a, CAST(t.nbr_id AS VARCHAR) AS b
+  FROM topk t JOIN topk r
+    ON r.query_id = t.nbr_id AND r.nbr_id = t.query_id
+  WHERE t.query_id < t.nbr_id),
+bi AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+allnodes AS (SELECT CAST(vec_id AS VARCHAR) AS a FROM embeddings),
+reach(a, b) AS (
+  SELECT a, a FROM allnodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a),
+comp AS (SELECT a, MIN(b) AS cmp FROM reach GROUP BY 1),
+sizes AS (SELECT cmp, COUNT(*) AS n FROM comp GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3650,6 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_distinctive_terms": q72_distinctive_terms,
         "q73_rank_normalize": q73_rank_normalize,
         "q74_blocking_stats": q74_blocking_stats,
+        "q75_source_entropy": q75_source_entropy,
+        "q76_mutual_knn_components": q76_mutual_knn_components,
     }
 
 
@@ -3739,4 +3846,6 @@ def oracle_sql() -> dict[str, str]:
         "q72_distinctive_terms": Q72_SQL,
         "q73_rank_normalize": Q73_SQL,
         "q74_blocking_stats": Q74_SQL,
+        "q75_source_entropy": Q75_SQL,
+        "q76_mutual_knn_components": Q76_SQL,
     }

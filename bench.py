@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "q70_key_skew_profile",
     "q72_distinctive_terms",
     "q73_rank_normalize",
+    # round-5 corpus-diversity entropy (integer micro-nats)
+    "q75_source_entropy",
 ]
 
 

@@ -221,3 +221,24 @@ def test_profile_invariants_random_frame(spark):
     assert f["max_block"] <= c["max_block"]
     assert f["candidate_pairs"] <= c["candidate_pairs"]
     assert f["reduction_ratio_ppm"] >= c["reduction_ratio_ppm"]
+
+
+def test_token_entropy_hand_computed(spark):
+    from hgcn_name_disambiguation_spark.operators.textstats import (
+        token_entropy,
+    )
+
+    # source s: tokens a a b -> N=3, counts {a:2, b:1}
+    #   s = 2*floor(1e6*ln2) + 1*floor(1e6*ln1) = 2*693147 = 1386294
+    #   H_micro = floor(1e6*ln3) - 1386294 div 3 = 1098612 - 462098
+    # source u: 4 identical tokens -> entropy exactly 0
+    df = spark.createDataFrame(
+        [("s", "a a b"), ("u", "x x"), ("u", "x x")],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in token_entropy(df, "source").collect()}
+    s, u = out["s"], out["u"]
+    assert (s["n_tokens"], s["n_distinct_tokens"]) == (3, 2)
+    assert s["entropy_micro_nats"] == 1098612 - 462098
+    assert (u["n_tokens"], u["n_distinct_tokens"]) == (4, 1)
+    assert u["entropy_micro_nats"] == 0
