@@ -3679,6 +3679,31 @@ FROM sizes GROUP BY 1
 """
 
 
+def q77_length_histogram(spark, sf):
+    """Sequence-length profile (round 5): log2-bucketed n_chars
+    histogram per source — the distribution a packing/tokenizer stage
+    reads before fixing max_seq_len. Power-of-two boundaries are IEEE-
+    exact, so the bucketing is cross-engine stable. One agg."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        length_histogram,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return length_histogram(docs, "source", "n_chars")
+
+
+Q77_SQL = """
+SELECT source,
+       CAST(CASE WHEN n_chars >= 1 THEN FLOOR(log2(n_chars))
+                 ELSE -1 END AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(n_chars) AS BIGINT) AS min_len,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3757,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_blocking_stats": q74_blocking_stats,
         "q75_source_entropy": q75_source_entropy,
         "q76_mutual_knn_components": q76_mutual_knn_components,
+        "q77_length_histogram": q77_length_histogram,
     }
 
 
@@ -3848,4 +3874,5 @@ def oracle_sql() -> dict[str, str]:
         "q74_blocking_stats": Q74_SQL,
         "q75_source_entropy": Q75_SQL,
         "q76_mutual_knn_components": Q76_SQL,
+        "q77_length_histogram": Q77_SQL,
     }

@@ -153,6 +153,49 @@ def blocking_stats(
     )
 
 
+def length_histogram(
+    df: DataFrame,
+    group_col: str,
+    length_col: str,
+) -> DataFrame:
+    """Log2-bucketed length histogram per group (round 5) — the
+    sequence-length profile a packing/tokenizer stage reads before
+    choosing max_seq_len and bucket boundaries. Bucket = floor(log2
+    (len)) for len >= 1 (len <= 0 lands in bucket -1), so bucket b
+    covers [2^b, 2^(b+1)). log2 of an exact power of two is exact in
+    IEEE, so the floor is cross-engine stable at the boundaries (no
+    1e-6-ulp class here — log2(2^k) is representable).
+
+    Returns (group, log2_bucket, n_rows, min_len, max_len) —
+    integers only. One map-side-combined agg on (group, bucket);
+    output bounded by |groups| * 64 rows.
+    """
+    bucket = F.when(F.col(length_col) >= 1,
+                    F.floor(F.log2(F.col(length_col)))).otherwise(
+        F.lit(-1)
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(length_col).alias("_len"),
+            bucket.cast("int").alias("log2_bucket"),
+        )
+        .groupBy("grp", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_len").cast("long").alias("min_len"),
+            F.max("_len").cast("long").alias("max_len"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "log2_bucket",
+            "n_rows",
+            "min_len",
+            "max_len",
+        )
+    )
+
+
 def rank_normalize(
     df: DataFrame,
     keys: Sequence[str],

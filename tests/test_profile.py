@@ -242,3 +242,27 @@ def test_token_entropy_hand_computed(spark):
     assert s["entropy_micro_nats"] == 1098612 - 462098
     assert (u["n_tokens"], u["n_distinct_tokens"]) == (4, 1)
     assert u["entropy_micro_nats"] == 0
+
+
+def test_length_histogram_buckets(spark):
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        length_histogram,
+    )
+
+    # lens 1 -> bucket 0; 2,3 -> 1; 4 -> 2; 1024 -> 10 (exact power
+    # boundary); 0 -> -1.
+    df = spark.createDataFrame(
+        [("s", 1), ("s", 2), ("s", 3), ("s", 4), ("s", 1024), ("s", 0)],
+        ["source", "n_chars"],
+    )
+    out = {
+        r["log2_bucket"]: (r["n_rows"], r["min_len"], r["max_len"])
+        for r in length_histogram(df, "source", "n_chars").collect()
+    }
+    assert out == {
+        -1: (1, 0, 0),
+        0: (1, 1, 1),
+        1: (2, 2, 3),
+        2: (1, 4, 4),
+        10: (1, 1024, 1024),
+    }
