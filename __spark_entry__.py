@@ -2008,13 +2008,17 @@ bga AS (
   SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
   FROM bgc GROUP BY 1)
 SELECT u.doc_id, u.n_tokens,
-       ROUND(1.0 - u.n_distinct * 1.0 / GREATEST(u.n_tokens, 1), 6)
-         AS dup_token_frac,
-       ROUND(COALESCE(b.top_c, 0) * 1.0
-             / GREATEST(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac,
-       CASE WHEN (1.0 - u.n_distinct * 1.0 / GREATEST(u.n_tokens, 1)) > 0.65
-              OR (COALESCE(b.top_c, 0) * 1.0
-                  / GREATEST(COALESCE(b.n_bigrams, 0), 1)) > 0.10
+       -- exact integer micro-units, the q42/q50 hardening pattern:
+       -- no DOUBLE in the output, so the hash is cross-engine stable
+       CAST((u.n_tokens - u.n_distinct) * 1000000
+            // GREATEST(u.n_tokens, 1) AS BIGINT) AS dup_token_micro,
+       CAST(COALESCE(b.top_c, 0) * 1000000
+            // GREATEST(COALESCE(b.n_bigrams, 0), 1) AS BIGINT)
+         AS top_bigram_micro,
+       CASE WHEN (u.n_tokens - u.n_distinct) * 1000000
+                   > 650000 * GREATEST(u.n_tokens, 1)
+              OR COALESCE(b.top_c, 0) * 1000000
+                   > 100000 * GREATEST(COALESCE(b.n_bigrams, 0), 1)
             THEN 1 ELSE 0 END AS repetitive
 FROM uni u LEFT JOIN bga b USING (doc_id)
 """

@@ -266,12 +266,20 @@ def repetition_features(
 ) -> DataFrame:
     """Gopher-style repetition signals per document.
 
-    Returns (doc_id, n_tokens, dup_token_frac, top_bigram_frac,
-    repetitive): dup_token_frac = 1 - distinct/total tokens,
-    top_bigram_frac = occurrences of the doc's most frequent bigram /
-    total bigrams, repetitive (int 0/1) = either fraction above its
-    threshold. Both signals are the token-count analogue of Rae et
-    al.'s duplicate-line / top-2-gram character fractions.
+    Returns (doc_id, n_tokens, dup_token_micro, top_bigram_micro,
+    repetitive): dup_token_micro = floor(1e6 * (1 - distinct/total
+    tokens)), top_bigram_micro = floor(1e6 * occurrences of the doc's
+    most frequent bigram / total bigrams), repetitive (int 0/1) =
+    either fraction above its threshold. Both signals are the
+    token-count analogue of Rae et al.'s duplicate-line / top-2-gram
+    character fractions.
+
+    Fractions are exact integer micro-units (non-negative BIGINT
+    ``div``), and the threshold flag is an exact integer
+    cross-multiplication — no DOUBLE appears in the output or the
+    comparisons, so the result is bit-stable across engines (the
+    q42/q50 hardening pattern: rounded doubles are not hash-stable
+    across engines).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -295,20 +303,30 @@ def repetition_features(
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
     )
-    dup_frac = F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.greatest(
-        F.col("n_tokens"), F.lit(1)
-    )
-    top_frac = F.coalesce(F.col("top_c"), F.lit(0)) * F.lit(1.0) / F.greatest(
+    dup_num = (F.col("n_tokens") - F.col("n_distinct")).cast("long")
+    dup_den = F.greatest(F.col("n_tokens"), F.lit(1)).cast("long")
+    top_num = F.coalesce(F.col("top_c"), F.lit(0)).cast("long")
+    top_den = F.greatest(
         F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)
-    )
+    ).cast("long")
+    dup_thr_micro = int(round(1e6 * dup_token_frac_threshold))
+    top_thr_micro = int(round(1e6 * top_bigram_frac_threshold))
     return uni.join(bg, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
-        F.round(dup_frac, 6).alias("dup_token_frac"),
-        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (dup_num * F.lit(1_000_000)).cast("long").alias("_dn"),
+        dup_den.alias("_dd"),
+        (top_num * F.lit(1_000_000)).cast("long").alias("_tn"),
+        top_den.alias("_td"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_dn div _dd").alias("dup_token_micro"),
+        F.expr("_tn div _td").alias("top_bigram_micro"),
+        # exact integer cross-multiply: frac > thr <=> num*1e6 > thr_micro*den
         (
-            (dup_frac > dup_token_frac_threshold)
-            | (top_frac > top_bigram_frac_threshold)
+            (F.col("_dn") > F.lit(dup_thr_micro) * F.col("_dd"))
+            | (F.col("_tn") > F.lit(top_thr_micro) * F.col("_td"))
         )
         .cast("int")
         .alias("repetitive"),

@@ -292,13 +292,22 @@ def test_repetition_features_brute_force(spark):
         )
         r = got[doc_id]
         assert r["n_tokens"] == len(toks)
-        assert r["dup_token_frac"] == pytest.approx(dup, abs=1e-6)
-        assert r["top_bigram_frac"] == pytest.approx(top, abs=1e-6)
+        # exact integer micro-units: floor(1e6 * num / den)
+        dup_micro = (len(toks) - len(set(toks))) * 1_000_000 // len(toks)
+        top_micro = (
+            max(bigrams.count(b) for b in set(bigrams))
+            * 1_000_000
+            // len(bigrams)
+            if bigrams
+            else 0
+        )
+        assert r["dup_token_micro"] == dup_micro
+        assert r["top_bigram_micro"] == top_micro
         assert r["repetitive"] == int(dup > 0.65 or top > 0.10)
     assert got[0]["repetitive"] == 1  # one token repeated throughout
     assert got[1]["repetitive"] == 0
     assert got[2]["repetitive"] == 1  # dominant bigram
-    assert got[3]["repetitive"] == 0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[3]["repetitive"] == 0 and got[3]["top_bigram_micro"] == 0
 
 
 def test_bigram_logprob_hand_computed(spark):
