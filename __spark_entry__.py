@@ -3708,6 +3708,132 @@ GROUP BY 1, 2
 """
 
 
+def q78_winnow_fingerprints(spark, sf):
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003) in
+    md5 hash mode: word 4-grams, window 5, min-hash-per-window with the
+    rightmost-tie rule encoded arithmetically so a plain MIN window agg
+    implements it (operators/dedup.py:winnow_fingerprints). xxhash64 is
+    the production mode; md5 replicates bit-exactly in DuckDB."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, k=4, window=5, hash_mode="md5")
+
+
+# Shared winnowing CTE prefix (k=4, window=5, hash_bits=20): mirrors
+# winnow_fingerprints exactly — combined = hash * 2^21 + (2^21-1-pos),
+# MIN over a 5-row frame picks (smallest hash, rightmost position).
+_WINNOW_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+           x -> x <> '') AS tk
+  FROM documents),
+ki AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+  FROM toks WHERE len(tk) >= 4),
+kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(tk[i:i+3], ' ') AS ng
+  FROM ki),
+h AS (
+  SELECT doc_id, pos,
+         (CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) % 1048576)
+           * 2097152 + (2097151 - pos) AS comb
+  FROM kg),
+sel AS (
+  SELECT doc_id, pos,
+         MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nk
+  FROM h),
+fp AS (
+  SELECT DISTINCT doc_id,
+         wmin // 2097152 AS fp_hash,
+         CAST(2097151 - (wmin % 2097152) AS INT) AS fp_pos
+  FROM sel
+  WHERE pos >= LEAST(4, nk - 1))
+"""
+
+Q78_SQL = _WINNOW_CTE + "SELECT doc_id, fp_hash, fp_pos FROM fp"
+
+
+def q79_clone_pairs(spark, sf):
+    """Clone-pair detection via shared winnowing fingerprints (the
+    MOSS pairing stage): stop-fingerprint filter (hash in > 50 docs)
+    then an inverted-index self-join, scored by containment ppm
+    (integer DIV — no free doubles). operators/dedup.py:clone_pairs."""
+    from hgcn_name_disambiguation_spark.operators.dedup import clone_pairs
+
+    d = _t(spark, sf, "documents")
+    return clone_pairs(
+        d, k=4, window=5, hash_mode="md5", max_hash_docs=50, min_shared=2
+    )
+
+
+Q79_SQL = _WINNOW_CTE + """,
+fph AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fph GROUP BY 1),
+keep AS (SELECT fp_hash FROM fph GROUP BY 1 HAVING COUNT(*) <= 50),
+idx AS (SELECT f.doc_id, f.fp_hash FROM fph f JOIN keep USING (fp_hash)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT id_a, id_b, shared_fps,
+       sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+       CAST(shared_fps * 1000000 // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS containment_ppm
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def q80_mad_anomalies(spark, sf):
+    """Hampel outlier screen: per-source nearest-rank median + MAD of
+    n_chars, flag |x - med| > 3 * max(MAD, 1). Every column is an
+    actual data value (integer-exact, cross-engine hash-stable).
+    operators/profile.py:mad_anomalies."""
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        mad_anomalies,
+    )
+
+    d = _t(spark, sf, "documents")
+    return mad_anomalies(d, "source", "n_chars", scale=3)
+
+
+Q80_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (SELECT source, n_chars AS med FROM ranked WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med,
+         ABS(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON d.source = m.source),
+r2 AS (
+  SELECT source, adev,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev),
+mad AS (SELECT source, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(d.med AS BIGINT) AS med,
+       CAST(m.mad AS BIGINT) AS mad,
+       CAST(d.adev AS BIGINT) AS adev
+FROM dev d JOIN mad m ON d.source = m.source
+WHERE d.adev > 3 * GREATEST(m.mad, 1)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3787,6 +3913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_source_entropy": q75_source_entropy,
         "q76_mutual_knn_components": q76_mutual_knn_components,
         "q77_length_histogram": q77_length_histogram,
+        "q78_winnow_fingerprints": q78_winnow_fingerprints,
+        "q79_clone_pairs": q79_clone_pairs,
+        "q80_mad_anomalies": q80_mad_anomalies,
     }
 
 
@@ -3879,4 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_source_entropy": Q75_SQL,
         "q76_mutual_knn_components": Q76_SQL,
         "q77_length_histogram": Q77_SQL,
+        "q78_winnow_fingerprints": Q78_SQL,
+        "q79_clone_pairs": Q79_SQL,
+        "q80_mad_anomalies": Q80_SQL,
     }

@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     "q73_rank_normalize",
     # round-5 corpus-diversity entropy (integer micro-nats)
     "q75_source_entropy",
+    # round-5 MOSS winnowing clone detection (window-min fingerprints,
+    # stop-fingerprint-capped inverted-index self-join) and the Hampel
+    # per-source MAD outlier screen
+    "q79_clone_pairs",
+    "q80_mad_anomalies",
 ]
 
 

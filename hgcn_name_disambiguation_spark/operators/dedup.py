@@ -933,3 +933,189 @@ def semantic_dedup(
             (F.coalesce("_n_dom", F.lit(0)) == 0).alias("kept"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    hash_mode: str = "xxhash64",
+    hash_bits: int = 20,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of `window` consecutive k-gram hashes over the document, and
+    select the MINIMUM hash in each window (ties broken to the
+    RIGHTMOST position, the paper's rule). The selected set is a
+    position-aware fingerprint with the winnowing guarantee: any match
+    of length >= window + k - 1 tokens between two documents shares at
+    least one selected fingerprint.
+
+    Spark-first shape: k-gram explode (narrow), ONE window agg per doc
+    ordered by position, distinct. The min-with-rightmost-tie rule is
+    encoded arithmetically so a plain MIN window aggregate implements
+    it exactly: combined = hash * 2^21 + (2^21 - 1 - pos); the smallest
+    combined value has the smallest hash, and among equal hashes the
+    LARGEST position. Both engines compute the identical BIGINT, so the
+    md5 mode is hash-stable against a DuckDB oracle; xxhash64 is the
+    production mode (JVM-side, no hex round-trip).
+
+    Documents with fewer than k tokens emit no fingerprints (no
+    k-grams exist). Documents with fewer than `window` k-grams emit
+    the global min (one partial window — the whole doc), keeping the
+    guarantee degenerate-safe.
+
+    Scale: per-doc windows never shuffle across docs — one shuffle on
+    id_col for the window sort, output ~2/(window+1) of k-gram count
+    (the paper's expected density). No driver collection.
+
+    Returns (doc_id, fp_pos int, fp_hash long), one row per selected
+    fingerprint, distinct.
+    """
+    from pyspark.sql import Window as _W
+
+    if hash_bits + 21 >= 63:
+        raise ValueError("hash_bits + 21 position bits must fit in int64")
+    hcap = 1 << hash_bits
+    pcap = 1 << 21  # positions per doc bounded by 2^21 tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
+                " ",
+            ),
+            lambda x: x != "",
+        ).alias("tk"),
+    ).where(F.size("tk") >= k)
+
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), i + 1, k)
+                ),
+            )
+        ).alias("pos", "ng"),
+    )
+    if hash_mode == "md5":
+        hv = F.pmod(
+            F.conv(F.substring(F.md5("ng"), 1, 15), 16, 10).cast("long"),
+            F.lit(hcap),
+        )
+    else:
+        hv = F.pmod(F.xxhash64("ng"), F.lit(hcap))
+    hashed = kg.select(
+        "doc_id",
+        "pos",
+        (hv * pcap + (F.lit(pcap - 1) - F.col("pos"))).alias("comb"),
+    )
+
+    w = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = hashed.select(
+        "doc_id",
+        "pos",
+        F.min("comb").over(w).alias("wmin"),
+        F.count(F.lit(1))
+        .over(_W.partitionBy("doc_id"))
+        .alias("nk"),
+    ).where(F.col("pos") >= F.least(F.lit(window - 1), F.col("nk") - 1))
+    return sel.select(
+        "doc_id",
+        F.expr(f"wmin DIV {pcap}").alias("fp_hash"),
+        (F.lit(pcap - 1) - F.pmod("wmin", F.lit(pcap)))
+        .cast("int")
+        .alias("fp_pos"),
+    ).distinct()
+
+
+def clone_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    hash_mode: str = "xxhash64",
+    hash_bits: int = 20,
+    max_hash_docs: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document clone detection via shared winnowing fingerprints —
+    the MOSS pairing stage: two documents are clone candidates when
+    they share >= min_shared selected fingerprints, scored by
+    containment = shared / min(|fp_a|, |fp_b|) in integer ppm (the
+    q42/q50 rule: never emit free doubles).
+
+    Stop-fingerprint filter first (the paper's noise control): any
+    fingerprint hash present in more than max_hash_docs documents is
+    boilerplate and is dropped BEFORE the self-join — this bounds the
+    inverted-index bucket size, so the pair fan-out is
+    sum(bucket^2) <= max_hash_docs * sum(bucket), linear in corpus
+    size at fixed max_hash_docs. That cap is what makes the self-join
+    100-TB-legal; without it one viral n-gram creates a quadratic
+    bucket.
+
+    Returns (id_a < id_b, shared_fps, fp_a, fp_b, containment_ppm)
+    sorted nowhere — the driver canonicalizes.
+    """
+    fps = winnow_fingerprints(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        window=window,
+        hash_mode=hash_mode,
+        hash_bits=hash_bits,
+    ).select("doc_id", "fp_hash").distinct()
+
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    keep = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= max_hash_docs)
+        .select("fp_hash")
+    )
+    idx = fps.join(keep, "fp_hash")
+
+    a = idx.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = idx.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    shared = (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n_fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n_fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            "fp_a",
+            "fp_b",
+            F.expr(
+                "CAST(shared_fps * 1000000 DIV least(fp_a, fp_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

@@ -312,3 +312,77 @@ def distinctive_terms(
         "lift_ppm",
         F.row_number().over(w).alias("rank"),
     ).where(F.col("rank") <= k)
+
+
+def mad_anomalies(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    scale: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute
+    deviation: flag rows where |x - median| > scale * max(MAD, 1) —
+    the length/quality screen a curation pipeline runs per source
+    before mixing (Hampel filter; Leys et al. 2013).
+
+    Median is EXACT nearest-rank (the value at position (n+1)//2 of
+    the sorted group), not an interpolated double, and MAD is the
+    nearest-rank median of |x - med| — both are actual data values,
+    so every output column is integer-exact and cross-engine
+    hash-stable (the q42/q50 rule). max(MAD, 1) guards the MAD=0
+    degeneracy (constant-majority groups) from flagging every
+    non-modal row.
+
+    Scale shape: two rank windows partitioned by group (the same
+    shuffle key, reused), one broadcast join of the |groups|-row
+    med/MAD frame back onto the data — no driver collection, no
+    doubles. At 100 TB per-group sort is the cost; groups are
+    sources (thousands), so each window partition is corpus/|groups|
+    and AQE splits stragglers.
+
+    Returns flagged rows only: (id, group, value, med, mad, adev).
+    """
+    grp, val = F.col(group_col).alias("grp"), F.col(value_col)
+    base = df.select(F.col(id_col).alias("rid"), grp, val.alias("v"))
+
+    wrank = Window.partitionBy("grp").orderBy("v")
+    wall = Window.partitionBy("grp")
+    med = (
+        base.select(
+            "grp",
+            "v",
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("grp", F.col("v").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    wrank2 = Window.partitionBy("grp").orderBy("adev")
+    mad = (
+        dev.select(
+            "grp",
+            "adev",
+            F.row_number().over(wrank2).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("grp", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .where(
+            F.col("adev") > F.lit(scale) * F.greatest(F.col("mad"), F.lit(1))
+        )
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("v").cast("long").alias(value_col),
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            F.col("adev").cast("long").alias("adev"),
+        )
+    )

@@ -392,3 +392,115 @@ def test_semantic_dedup_prod_mode_invariance(spark):
     m1 = sorted(map(tuple, semantic_dedup(e, theta=0.95, num_cells=1, hash_mode="md5").collect()))
     m2 = sorted(map(tuple, semantic_dedup(e, theta=0.95, num_cells=1, hash_mode="xxhash64").collect()))
     assert m1 == m2
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    """Every window of `window` consecutive k-gram positions contains a
+    selected fingerprint (the winnowing guarantee), in BOTH hash modes,
+    and the selection is repartition-invariant."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    words = [f"w{i % 7}" for i in range(40)]  # repeats force hash ties
+    rows = [
+        (1, " ".join(words)),
+        (2, "Mixed CASE text, with-punct! " + " ".join(words[:20])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, w = 4, 5
+    for mode in ("xxhash64", "md5"):
+        fps = winnow_fingerprints(df, k=k, window=w, hash_mode=mode)
+        got = sorted(
+            (r["doc_id"], r["fp_pos"], r["fp_hash"]) for r in fps.collect()
+        )
+        by_doc = {}
+        for d, p, h in got:
+            by_doc.setdefault(d, set()).add(p)
+        for doc_id, text in rows:
+            nk = len([t for t in text.lower().split() if True])
+            # token count after the operator's own normalization:
+            import re
+
+            toks = [
+                t
+                for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+                if t
+            ]
+            nkg = len(toks) - k + 1
+            sel = by_doc[doc_id]
+            assert sel, f"doc {doc_id} selected nothing"
+            for start in range(0, nkg - w + 1):
+                assert any(
+                    start <= p <= start + w - 1 for p in sel
+                ), f"window at {start} uncovered for doc {doc_id}"
+        # repartition invariance
+        again = sorted(
+            (r["doc_id"], r["fp_pos"], r["fp_hash"])
+            for r in winnow_fingerprints(
+                df.repartition(7), k=k, window=w, hash_mode=mode
+            ).collect()
+        )
+        assert again == got
+
+
+def test_winnow_short_docs(spark):
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens < k=4 -> no k-grams
+            (2, "a b c d"),        # exactly one k-gram -> one fp at pos 0
+            (3, "a b c d e f"),    # 3 k-grams < window=5 -> global min only
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_fingerprints(df, k=4, window=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["fp_pos"])
+    assert 1 not in by_doc
+    assert by_doc[2] == [0]
+    assert len(by_doc[3]) == 1 and 0 <= by_doc[3][0] <= 2
+
+
+def test_clone_pairs_detects_and_scores(spark):
+    """Identical docs -> containment 1e6; a doc sharing a long prefix
+    is paired; an unrelated doc is not."""
+    from hgcn_name_disambiguation_spark.operators.dedup import clone_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                               # exact clone
+            (3, base + " tail9 tail8 tail7"),        # superset clone
+            (4, other),                              # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    # max_hash_docs=50 keeps all; min_shared=2 standard
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in clone_pairs(df, max_hash_docs=50, min_shared=2).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["containment_ppm"] == 1_000_000
+    assert (1, 3) in out and out[(1, 3)]["containment_ppm"] == 1_000_000
+    assert all(4 not in pair for pair in out)
+
+
+def test_clone_pairs_stop_fingerprint_cap(spark):
+    """A fingerprint present in more docs than max_hash_docs is dropped
+    before the self-join: with the cap at 2, three identical docs share
+    NO eligible fingerprints and no pair is emitted."""
+    from hgcn_name_disambiguation_spark.operators.dedup import clone_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], ["doc_id", "text"]
+    )
+    assert clone_pairs(df, max_hash_docs=2, min_shared=1).count() == 0
+    assert clone_pairs(df, max_hash_docs=3, min_shared=1).count() == 3

@@ -266,3 +266,45 @@ def test_length_histogram_buckets(spark):
         2: (1, 4, 4),
         10: (1, 1024, 1024),
     }
+
+
+def test_mad_anomalies_hand_computed(spark):
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        mad_anomalies,
+    )
+
+    # group g: values 10,10,10,10,100 -> med=10 (rank 3 of 5), adevs
+    # 0,0,0,0,90 -> mad=0 -> guard max(mad,1)=1 -> flag |x-10|>3: 100.
+    # group h: 1..6 -> med = rank 3 value = 3; adevs 2,1,0,1,2,3 sorted
+    # 0,1,1,2,2,3 -> mad = rank 3 = 1 -> flag |x-3|>3: none (max adev 3).
+    rows = [("g", i, v) for i, v in enumerate([10, 10, 10, 10, 100])]
+    rows += [("h", 10 + i, v) for i, v in enumerate([1, 2, 3, 4, 5, 6])]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = mad_anomalies(df, "source", "n_chars", scale=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source"], r["n_chars"], r["med"], r["mad"], r["adev"]) == (
+        "g", 100, 10, 0, 90,
+    )
+
+
+def test_mad_anomalies_order_invariant(spark):
+    from hgcn_name_disambiguation_spark.operators.profile import (
+        mad_anomalies,
+    )
+
+    rows = [("s", i, (i * 37) % 50 + (1000 if i % 17 == 0 else 0))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    a = sorted(map(tuple, mad_anomalies(df, "source", "n_chars").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mad_anomalies(
+                df.repartition(13).sortWithinPartitions(F.desc("n_chars")),
+                "source",
+                "n_chars",
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) >= 1
