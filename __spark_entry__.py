@@ -3834,6 +3834,219 @@ WHERE d.adev > 3 * GREATEST(m.mad, 1)
 """
 
 
+def q81_fs_channel_weights(spark, sf):
+    """Fellegi–Sunter m/u channel-weight estimation (JASA 1969) over
+    labeled embedding pairs: blocking by vec_id % 16, truth = same
+    label, two comparators — cos >= 0.5 and first-component sign
+    agreement. The measured ln(m/u) weights are the principled form of
+    the reference's hand-set (5A+1T+4V)/10 evidence fusion
+    (operators/evaluate.py:fs_channel_weights)."""
+    from hgcn_name_disambiguation_spark.operators.evaluate import (
+        fs_channel_weights,
+    )
+    from hgcn_name_disambiguation_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("label").alias("lab_a"),
+        (F.col("vec_id") % 16).alias("blk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("label").alias("lab_b"),
+        (F.col("vec_id") % 16).alias("blk"),
+    )
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    compared = pairs.select(
+        (F.col("lab_a") == F.col("lab_b")).alias("truth"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cos05").alias("channel"),
+                    (
+                        F.round(
+                            cosine(F.col("emb_a"), F.col("emb_b")), 6
+                        )
+                        >= 0.5
+                    ).alias("agree"),
+                ),
+                F.struct(
+                    F.lit("sign0").alias("channel"),
+                    (
+                        (F.element_at("emb_a", 1) >= 0)
+                        == (F.element_at("emb_b", 1) >= 0)
+                    ).alias("agree"),
+                ),
+            )
+        ).alias("cmp"),
+    ).select("truth", "cmp.channel", "cmp.agree")
+    return fs_channel_weights(compared)
+
+
+Q81_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+         vec_id % 16 AS blk
+  FROM embeddings),
+pairs AS (
+  SELECT a.label = b.label AS truth,
+         ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.5 AS g_cos,
+         (a.emb[1] >= 0) = (b.emb[1] >= 0) AS g_sign
+  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+stacked AS (
+  SELECT truth, 'cos05' AS channel, g_cos AS agree FROM pairs
+  UNION ALL
+  SELECT truth, 'sign0' AS channel, g_sign AS agree FROM pairs),
+agg AS (
+  SELECT channel,
+         SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS n_match,
+         SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS n_unmatch,
+         SUM(CASE WHEN truth AND agree THEN 1 ELSE 0 END) AS m_num,
+         SUM(CASE WHEN NOT truth AND agree THEN 1 ELSE 0 END) AS u_num
+  FROM stacked GROUP BY 1)
+SELECT channel,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(n_unmatch AS BIGINT) AS n_unmatch,
+       CAST(m_num AS BIGINT) AS m_num,
+       CAST(u_num AS BIGINT) AS u_num,
+       CAST(m_num * 1000000 // GREATEST(n_match, 1) AS BIGINT) AS m_ppm,
+       CAST(u_num * 1000000 // GREATEST(n_unmatch, 1) AS BIGINT) AS u_ppm,
+       CAST(FLOOR(1000000 * ln(GREATEST(m_num, 1)))
+          - FLOOR(1000000 * ln(GREATEST(n_match, 1)))
+          - FLOOR(1000000 * ln(GREATEST(u_num, 1)))
+          + FLOOR(1000000 * ln(GREATEST(n_unmatch, 1))) AS BIGINT)
+         AS weight_micro_nats
+FROM agg
+"""
+
+
+# Shared sparse-TF-IDF CTE prefix (max_df=50, integer idf_micro via the
+# q75 per-integer-count ln idiom): mirrors sparse_tfidf_topk exactly.
+_TFIDF_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+           x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf
+        GROUP BY 1 HAVING COUNT(*) <= 50),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+wtd AS (
+  SELECT doc_id, t.token, t.tf,
+         CAST(FLOOR(1000000 * ln(n_docs))
+            - FLOOR(1000000 * ln(df)) AS BIGINT) AS idf
+  FROM tf t JOIN dfq USING (token), n)
+"""
+
+
+def q82_sparse_tfidf_topk(spark, sf):
+    """Sparse lexical retrieval: top-5 neighbors per query doc by
+    TF-IDF-weighted dot product over an inverted token index with a
+    df<=50 stop-token cap — exact-integer scores (tf_a·tf_b·idf²),
+    the text-side twin of the dense ANN family
+    (operators/similarity.py:sparse_tfidf_topk)."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        sparse_tfidf_topk,
+    )
+
+    d = _t(spark, sf, "documents")
+    out = sparse_tfidf_topk(
+        d, k=5, max_df=50, queries_filter=F.col("query_id") < 32
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+Q82_SQL = _TFIDF_CTE + """,
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS nbr_id,
+         SUM(q.tf * c.tf * q.idf * q.idf) AS score
+  FROM wtd q JOIN wtd c ON q.token = c.token AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < 32
+  GROUP BY 1, 2)
+SELECT query_id, nbr_id, CAST(score AS BIGINT) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, nbr_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""
+
+
+def q83_rrf_hybrid(spark, sf):
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of the
+    dense brute-kNN ranking (embeddings) and the sparse TF-IDF ranking
+    (documents) for the same query ids — the standard hybrid-retrieval
+    combiner; score = sum of 1e6 div (60 + rank), integer ppm
+    (operators/similarity.py:rrf_fuse)."""
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+        sparse_tfidf_topk,
+    )
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(e, q, k=10, exclude_self=True)
+    sparse = sparse_tfidf_topk(
+        _t(spark, sf, "documents"),
+        k=10,
+        max_df=50,
+        queries_filter=F.col("query_id") < 32,
+    )
+    return rrf_fuse([dense, sparse], k=5, c=60)
+
+
+Q83_SQL = _TFIDF_CTE + """,
+sparse AS (
+  SELECT query_id, nbr_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, nbr_id) AS rnk
+  FROM (SELECT q.doc_id AS query_id, c.doc_id AS nbr_id,
+               SUM(q.tf * c.tf * q.idf * q.idf) AS score
+        FROM wtd q JOIN wtd c ON q.token = c.token
+                             AND q.doc_id <> c.doc_id
+        WHERE q.doc_id < 32
+        GROUP BY 1, 2)),
+dense AS (
+  SELECT query_id, nbr_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id) AS rnk
+  FROM (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 32
+                                           AND q.vec_id <> c.vec_id)),
+unioned AS (
+  SELECT query_id, nbr_id, 1000000 // (60 + rnk) AS contrib
+  FROM sparse WHERE rnk <= 10
+  UNION ALL
+  SELECT query_id, nbr_id, 1000000 // (60 + rnk) AS contrib
+  FROM dense WHERE rnk <= 10),
+fused AS (
+  SELECT query_id, nbr_id, CAST(SUM(contrib) AS BIGINT) AS rrf_ppm
+  FROM unioned GROUP BY 1, 2)
+SELECT query_id, nbr_id, rrf_ppm, CAST(fr AS INT) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_ppm DESC, nbr_id) AS fr
+      FROM fused)
+WHERE fr <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3916,6 +4129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_winnow_fingerprints": q78_winnow_fingerprints,
         "q79_clone_pairs": q79_clone_pairs,
         "q80_mad_anomalies": q80_mad_anomalies,
+        "q81_fs_channel_weights": q81_fs_channel_weights,
+        "q82_sparse_tfidf_topk": q82_sparse_tfidf_topk,
+        "q83_rrf_hybrid": q83_rrf_hybrid,
     }
 
 
@@ -4011,4 +4227,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_winnow_fingerprints": Q78_SQL,
         "q79_clone_pairs": Q79_SQL,
         "q80_mad_anomalies": Q80_SQL,
+        "q81_fs_channel_weights": Q81_SQL,
+        "q82_sparse_tfidf_topk": Q82_SQL,
+        "q83_rrf_hybrid": Q83_SQL,
     }

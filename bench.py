@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     # per-source MAD outlier screen
     "q79_clone_pairs",
     "q80_mad_anomalies",
+    # round-5 Fellegi-Sunter channel-weight estimation (one agg over
+    # blocked labeled pairs) and hybrid retrieval (dense brute-kNN +
+    # sparse TF-IDF inverted index, fused by integer-ppm RRF)
+    "q81_fs_channel_weights",
+    "q83_rrf_hybrid",
 ]
 
 

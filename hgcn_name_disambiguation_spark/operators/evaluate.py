@@ -177,3 +177,67 @@ def clustering_agreement(
         )
     )
     return out
+
+
+def fs_channel_weights(compared: DataFrame) -> DataFrame:
+    """Fellegi–Sunter (JASA 1969) m/u estimation over LABELED compared
+    pairs — the theory underlying the reference's fused evidence
+    weights (scoring.py F7: the hand-set (5A+1T+4V)/10 is an ad-hoc FS
+    weight vector; this operator MEASURES the principled one from a
+    labeled sample).
+
+    Input: one row per (pair, channel) with
+      truth   bool — the pair is a true match (same entity)
+      channel str  — comparator name (e.g. 'coauthor', 'cos05')
+      agree   bool — the comparator fired on this pair (gamma = 1)
+
+    Per channel: m = P(agree | match), u = P(agree | unmatch), and the
+    FS agreement weight ln(m/u). Encoding is the engine's exact-integer
+    rule (q42/q50/q75): counts and ppm ratios are integer-exact;
+    weight_micro_nats is composed from per-INTEGER-count ln terms
+    (floor(1e6·ln c), the q75 idiom) so both engines floor the same
+    scalar lns rather than one accumulated double:
+
+      weight = fln(max(m_num,1)) - fln(n_match)
+             - fln(max(u_num,1)) + fln(n_unmatch)
+
+    Zero-agreement cells are clamped to 1 (the standard +epsilon FS
+    smoothing) — the clamp is visible in the raw counts alongside.
+
+    Scale shape: ONE map-side-combined agg on the channel key; the
+    pair frame never re-shuffles. FS estimation runs on a labeled
+    SAMPLE by construction (labels are the scarce resource), so the
+    input is bounded regardless of corpus size.
+
+    Returns (channel, n_match, n_unmatch, m_num, u_num, m_ppm, u_ppm,
+    weight_micro_nats), all integer columns.
+    """
+
+    def fln(col):
+        return F.floor(F.lit(1_000_000) * F.log(col)).cast("long")
+
+    agg = compared.groupBy("channel").agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(~F.col("truth"), 1).otherwise(0)).alias("n_unmatch"),
+        F.sum(
+            F.when(F.col("truth") & F.col("agree"), 1).otherwise(0)
+        ).alias("m_num"),
+        F.sum(
+            F.when(~F.col("truth") & F.col("agree"), 1).otherwise(0)
+        ).alias("u_num"),
+    )
+    return agg.select(
+        "channel",
+        "n_match",
+        "n_unmatch",
+        "m_num",
+        "u_num",
+        F.expr("m_num * 1000000 DIV greatest(n_match, 1)").alias("m_ppm"),
+        F.expr("u_num * 1000000 DIV greatest(n_unmatch, 1)").alias("u_ppm"),
+        (
+            fln(F.greatest("m_num", F.lit(1)))
+            - fln(F.greatest("n_match", F.lit(1)))
+            - fln(F.greatest("u_num", F.lit(1)))
+            + fln(F.greatest("n_unmatch", F.lit(1)))
+        ).alias("weight_micro_nats"),
+    )

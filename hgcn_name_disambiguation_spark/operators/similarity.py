@@ -553,3 +553,154 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
             .alias("n_triangles"),
         )
     )
+
+
+def sparse_tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    queries_filter: Column | None = None,
+) -> DataFrame:
+    """Sparse lexical retrieval: per-document top-k neighbors by
+    TF-IDF-weighted dot product over an inverted token index — the
+    text-side twin of the engine's dense ANN family (brute/LSH/IVF),
+    and the same inverted-index shape as the ER co-title join (J1/T1),
+    re-expressed over the documents table with EXACT-INTEGER weights.
+
+    Integer encoding (the q42/q50/q75 rule — no free doubles):
+    idf_micro = floor(1e6·ln N) - floor(1e6·ln df) (per-integer-count
+    lns, the q75 idiom, identical in both engines); per-doc token
+    weight = tf · idf_micro; pair score = sum over shared tokens of
+    tf_a·tf_b·idf_micro² — monotone in the TF-IDF dot product, all
+    int64 at test scale (the 100-TB path is the same formula over
+    DECIMAL(38,0), as in profile.py's HHI).
+
+    Stop-token prune FIRST: tokens with df > max_df are dropped before
+    the self-join, bounding every inverted-index bucket — the pair
+    fan-out is sum(df²) <= max_df · sum(df), linear in corpus size at
+    fixed max_df (the identical cap that makes clone_pairs and the
+    co-title join 100-TB-legal).
+
+    queries_filter optionally restricts WHICH docs get a result list
+    (applied to the query side BEFORE the join, so pruned queries cost
+    nothing); corpus side always searches the full frame.
+
+    Returns (query_id, nbr_id, score, rank<=k); ties by nbr_id asc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.col(text_col)), r"[^a-z0-9]+", " "
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row, broadcast
+    weighted = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.floor(F.lit(1_000_000) * F.log("n_docs"))
+                - F.floor(F.lit(1_000_000) * F.log("df"))
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    qside = weighted.select(
+        F.col("doc_id").alias("query_id"),
+        "token",
+        F.col("tf").alias("tf_q"),
+        "idf_micro",
+    )
+    if queries_filter is not None:
+        qside = qside.where(queries_filter)
+    cside = weighted.select(
+        F.col("doc_id").alias("nbr_id"), "token", F.col("tf").alias("tf_c")
+    )
+    scored = (
+        qside.join(cside, "token")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .groupBy("query_id", "nbr_id")
+        .agg(
+            F.sum(
+                F.col("tf_q")
+                * F.col("tf_c")
+                * F.col("idf_micro")
+                * F.col("idf_micro")
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 5, c: int = 60
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke, Büttcher, SIGIR 2009):
+    fuse N per-query rankings into one — the standard hybrid-retrieval
+    combiner for dense (embedding kNN) + sparse (TF-IDF) candidate
+    lists in a training-data pipeline.
+
+    Each input frame has (query_id, nbr_id, rank); an item's fused
+    score is sum over the lists containing it of 1e6 div (c + rank) —
+    integer ppm (exact integral division, never a summed double), the
+    published formula with the conventional c=60. Items missing from a
+    list simply contribute nothing for it (the paper's semantics).
+
+    Scale shape: union (narrow) + ONE agg on (query_id, nbr_id) + the
+    per-query top-k window — input is already top-k-bounded per list,
+    so the frame is |queries|·k·N rows, never corpus-sized.
+
+    Returns (query_id, nbr_id, rrf_ppm, fused_rank<=k); ties by
+    nbr_id asc.
+    """
+    parts = [
+        r.select(
+            "query_id",
+            "nbr_id",
+            F.expr(f"1000000 DIV ({c} + rank)").alias("contrib"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("query_id", "nbr_id").agg(
+        F.sum("contrib").cast("long").alias("rrf_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("nbr_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "nbr_id", "rrf_ppm", "fused_rank")
+    )

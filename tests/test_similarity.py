@@ -219,3 +219,50 @@ def test_mutual_topk_edges_and_triangles(spark):
     g4 = {r.vec_id: (r.degree, r.n_triangles)
           for r in triangle_counts(k4).collect()}
     assert g4 == {i: (3, 3) for i in range(4)}
+
+
+def test_sparse_tfidf_topk_hand_checked(spark):
+    from hgcn_name_disambiguation_spark.operators.similarity import (
+        sparse_tfidf_topk,
+    )
+
+    # doc 1 and 2 share rare tokens; doc 3 shares only a stop token
+    # (df == 4 > max_df=3 after including docs 4); doc 4 is noise.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma common"),
+            (2, "alpha beta delta common"),
+            (3, "epsilon zeta eta common"),
+            (4, "theta iota kappa common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sparse_tfidf_topk(df, k=3, max_df=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["nbr_id"], r["score"])
+        )
+    # 'common' (df=4) is pruned, so 3 and 4 have no neighbors at all
+    assert 3 not in by_q and 4 not in by_q
+    assert by_q[1][0][1] == 2 and by_q[2][0][1] == 1
+    assert by_q[1][0][2] == by_q[2][0][2] > 0  # symmetric score
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from hgcn_name_disambiguation_spark.operators.similarity import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], ["query_id", "nbr_id", "rank"]
+    )
+    sparse = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], ["query_id", "nbr_id", "rank"]
+    )
+    out = {
+        r["nbr_id"]: (r["rrf_ppm"], r["fused_rank"])
+        for r in rrf_fuse([dense, sparse], k=3, c=60).collect()
+    }
+    # 11 in both lists: 1e6//61 + 1e6//62 beats 10's 1e6//61 alone.
+    assert out[11] == (1_000_000 // 61 + 1_000_000 // 62, 1)
+    assert out[10] == (1_000_000 // 61, 2)
+    assert out[12] == (1_000_000 // 62, 3)
