@@ -504,3 +504,32 @@ def test_clone_pairs_stop_fingerprint_cap(spark):
     )
     assert clone_pairs(df, max_hash_docs=2, min_shared=1).count() == 0
     assert clone_pairs(df, max_hash_docs=3, min_shared=1).count() == 3
+
+
+def test_clone_pairs_over_repo_files_table(spark, fixture_repo_files):
+    """clone_pairs runs directly over the north-rule input shape
+    (repo, path, commit, lang, content): same-entity files in the ER
+    fixture share topic vocabulary, so winnowing finds clone pairs,
+    and every reported pair shares >= min_shared fingerprints by
+    construction (sanity re-derive on a sample)."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        clone_pairs,
+        winnow_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    rf = fixture_repo_files.select(
+        F.concat_ws("/", "repo", "path", "commit").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    pairs = clone_pairs(rf, max_hash_docs=30, min_shared=2)
+    got = pairs.limit(5).collect()
+    assert pairs.count() >= 1
+    fps = (
+        winnow_fingerprints(rf)
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp_hash").alias("hs"))
+    )
+    hs = {r["doc_id"]: set(r["hs"]) for r in fps.collect()}
+    for r in got:
+        assert len(hs[r["id_a"]] & hs[r["id_b"]]) >= 2
