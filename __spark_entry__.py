@@ -4047,6 +4047,117 @@ WHERE fr <= 5
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q84/q85 — repository-level fork detection over the north-rule table
+# shape (repo, path, content), derived deterministically from documents:
+# repo = 'r' || (doc_id % 40), path = 'f' || doc_id. A repo's signature
+# is the union of its files' MOSS winnowing fingerprints; fork pairs are
+# scored by integer-ppm containment and resolved into transitive fork
+# families with the same large-star/small-star CC as the ER path.
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_repo_files(docs):
+    """Deterministic repo-files frame (repo, path, content) from the
+    documents table: 40 synthetic repositories keyed by doc_id % 40 —
+    identical arithmetic on both engines, so the md5 winnowing oracle
+    replicates bit-exactly."""
+    return docs.select(
+        F.concat(
+            F.lit("r"), F.pmod("doc_id", F.lit(40)).cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+
+
+def q84_repo_fork_pairs(spark, sf):
+    """Repo-level fork detection (md5 oracle mode; xxhash64 is the
+    production default): union-of-file winnowing fingerprints per repo,
+    stop-fingerprint filter at 20 repos (license/boilerplate control),
+    inverted-index self-join, containment in integer ppm.
+    operators/dedup.py:repo_fork_pairs."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        repo_fork_pairs,
+    )
+
+    files = _docs_as_repo_files(_t(spark, sf, "documents"))
+    return repo_fork_pairs(
+        files, hash_mode="md5", max_hash_repos=20, min_shared=5
+    )
+
+
+_REPO_FORK_CTE = """,
+rfp AS (
+  SELECT DISTINCT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo, fp_hash
+  FROM fp),
+sizes AS (SELECT repo, COUNT(*) AS n_fp FROM rfp GROUP BY 1),
+keep AS (SELECT fp_hash FROM rfp GROUP BY 1 HAVING COUNT(*) <= 20),
+idx AS (SELECT r.repo, r.fp_hash FROM rfp r JOIN keep USING (fp_hash)),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM idx a JOIN idx b ON a.fp_hash = b.fp_hash AND a.repo < b.repo
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+forkpairs AS (
+  SELECT repo_a, repo_b, shared_fps,
+         sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+         CAST(shared_fps * 1000000 // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+           AS containment_ppm
+  FROM shared
+  JOIN sizes sa ON sa.repo = repo_a
+  JOIN sizes sb ON sb.repo = repo_b)
+"""
+
+Q84_SQL = (
+    _WINNOW_CTE
+    + _REPO_FORK_CTE
+    + "SELECT repo_a, repo_b, shared_fps, fp_a, fp_b, containment_ppm"
+    + " FROM forkpairs"
+)
+
+
+def q85_fork_families(spark, sf):
+    """Transitive fork families: q84's fork graph thresholded at
+    containment >= 0.11 (110000 ppm), connected components
+    (large-star/small-star), singletons unioned back — one row per
+    repo, family_id = MIN repo of the component.
+    operators/dedup.py:fork_families."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        fork_families,
+        repo_fork_pairs,
+    )
+
+    files = _docs_as_repo_files(_t(spark, sf, "documents"))
+    pairs = repo_fork_pairs(
+        files, hash_mode="md5", max_hash_repos=20, min_shared=5
+    )
+    return fork_families(pairs, files, min_containment_ppm=110_000)
+
+
+Q85_SQL = (
+    _WINNOW_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _REPO_FORK_CTE
+    + """,
+bi AS (
+  SELECT repo_a AS a, repo_b AS b FROM forkpairs
+  WHERE containment_ppm >= 110000
+  UNION ALL
+  SELECT repo_b AS a, repo_a AS b FROM forkpairs
+  WHERE containment_ppm >= 110000),
+allr AS (
+  SELECT DISTINCT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo
+  FROM documents),
+reach(a, b) AS (
+  SELECT repo, repo FROM allr
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN bi e ON r.b = e.a)
+SELECT a AS repo, MIN(b) AS family_id FROM reach GROUP BY 1
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4132,6 +4243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_fs_channel_weights": q81_fs_channel_weights,
         "q82_sparse_tfidf_topk": q82_sparse_tfidf_topk,
         "q83_rrf_hybrid": q83_rrf_hybrid,
+        "q84_repo_fork_pairs": q84_repo_fork_pairs,
+        "q85_fork_families": q85_fork_families,
     }
 
 
@@ -4230,4 +4343,6 @@ def oracle_sql() -> dict[str, str]:
         "q81_fs_channel_weights": Q81_SQL,
         "q82_sparse_tfidf_topk": Q82_SQL,
         "q83_rrf_hybrid": Q83_SQL,
+        "q84_repo_fork_pairs": Q84_SQL,
+        "q85_fork_families": Q85_SQL,
     }

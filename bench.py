@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     # sparse TF-IDF inverted index, fused by integer-ppm RRF)
     "q81_fs_channel_weights",
     "q83_rrf_hybrid",
+    # round-5 repo-level fork detection: per-file winnowing
+    # fingerprints unioned per repo, stop-fp-capped self-join,
+    # containment-thresholded transitive fork families via CC
+    "q84_repo_fork_pairs",
+    "q85_fork_families",
 ]
 
 

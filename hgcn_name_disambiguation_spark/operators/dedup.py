@@ -1119,3 +1119,129 @@ def clone_pairs(
             ).alias("containment_ppm"),
         )
     )
+
+
+def repo_fork_pairs(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    k: int = 4,
+    window: int = 5,
+    hash_mode: str = "xxhash64",
+    hash_bits: int = 20,
+    max_hash_repos: int = 20,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Repository-level fork / near-duplicate detection over the
+    north-rule input shape (repo, path, commit, lang, content): a
+    repo's signature is the UNION of its files' winnowing
+    fingerprints (per-file MOSS fingerprints, so the winnowing
+    guarantee holds within each file and renamed/moved files still
+    contribute identical fingerprints), and two repos are fork
+    candidates when they share >= min_shared fingerprints, scored by
+    containment = shared / min(|fp_a|, |fp_b|) in integer ppm.
+
+    This is the repo-granularity MOSS pairing stage: the stop-
+    fingerprint filter drops any fingerprint present in more than
+    max_hash_repos repositories (license headers, vendored
+    boilerplate, generated preambles) BEFORE the inverted-index
+    self-join, so pair fan-out is bounded by
+    max_hash_repos * sum(bucket) — linear in corpus size at fixed
+    cap, never quadratic in one viral header. At 10^12 files the
+    plan is: one narrow per-file fingerprint pass (no cross-file
+    shuffle inside winnowing beyond the per-file window sort), one
+    distinct on (repo, fp_hash), one bounded self-join, one pair
+    agg — a constant number of shuffles regardless of volume.
+
+    Returns (repo_a < repo_b, shared_fps, fp_a, fp_b,
+    containment_ppm), integer-exact (q42/q50 rule: no free doubles).
+    """
+    sep = "\x01"  # control char: never appears in repo/path names
+    fid = files.select(
+        F.concat_ws(sep, F.col(repo_col), F.col(path_col)).alias("fid"),
+        F.col(content_col).alias("content"),
+    )
+    fps = winnow_fingerprints(
+        fid,
+        id_col="fid",
+        text_col="content",
+        k=k,
+        window=window,
+        hash_mode=hash_mode,
+        hash_bits=hash_bits,
+    )
+    rfp = fps.select(
+        F.substring_index("doc_id", sep, 1).alias("repo"), "fp_hash"
+    ).distinct()
+
+    sizes = rfp.groupBy("repo").agg(F.count(F.lit(1)).alias("n_fp"))
+    keep = (
+        rfp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("n_repos"))
+        .where(F.col("n_repos") <= max_hash_repos)
+        .select("fp_hash")
+    )
+    idx = rfp.join(keep, "fp_hash")
+
+    a = idx.select(F.col("repo").alias("repo_a"), "fp_hash")
+    b = idx.select(F.col("repo").alias("repo_b"), "fp_hash")
+    shared = (
+        a.join(b, "fp_hash")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("repo").alias("repo_a"), F.col("n_fp").alias("fp_a")
+            ),
+            "repo_a",
+        )
+        .join(
+            sizes.select(
+                F.col("repo").alias("repo_b"), F.col("n_fp").alias("fp_b")
+            ),
+            "repo_b",
+        )
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared_fps",
+            "fp_a",
+            "fp_b",
+            F.expr(
+                "CAST(shared_fps * 1000000 DIV least(fp_a, fp_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+def fork_families(
+    pairs: DataFrame,
+    repos: DataFrame,
+    repo_col: str = "repo",
+    min_containment_ppm: int = 500_000,
+) -> DataFrame:
+    """Transitive fork families: threshold the repo_fork_pairs graph
+    at min_containment_ppm and resolve connected components (the same
+    large-star/small-star fixpoint as the ER path — a fork of a fork
+    belongs to the original's family), then union every repo from
+    `repos` that joined no family as its own singleton. family_id is
+    the lexicographic MIN repo of the component — deterministic under
+    any partitioning or input order.
+
+    Returns (repo, family_id), one row per distinct repo in `repos`.
+    """
+    edges = pairs.where(
+        F.col("containment_ppm") >= min_containment_ppm
+    ).select(F.col("repo_a").alias("src"), F.col("repo_b").alias("dst"))
+    cc = connected_components(edges).select(
+        F.col("node").alias("repo"), F.col("component").alias("family_id")
+    )
+    allr = repos.select(F.col(repo_col).alias("repo")).distinct()
+    return allr.join(cc, "repo", "left").select(
+        "repo", F.coalesce("family_id", "repo").alias("family_id")
+    )

@@ -533,3 +533,86 @@ def test_clone_pairs_over_repo_files_table(spark, fixture_repo_files):
     hs = {r["doc_id"]: set(r["hs"]) for r in fps.collect()}
     for r in got:
         assert len(hs[r["id_a"]] & hs[r["id_b"]]) >= 2
+
+
+def test_repo_fork_pairs_detects_forked_repo(spark):
+    """A repo whose files are copies of another repo's files scores
+    containment 1e6 against it; an unrelated repo pairs with neither.
+    Fingerprints are per-FILE, so a renamed path still matches."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        repo_fork_pairs,
+    )
+
+    fa = " ".join(f"alpha{i}" for i in range(40))
+    fb = " ".join(f"beta{i}" for i in range(40))
+    fz = " ".join(f"zeta{i}" for i in range(40))
+    files = spark.createDataFrame(
+        [
+            ("origin", "src/a.py", fa),
+            ("origin", "src/b.py", fb),
+            ("fork", "lib/renamed_a.py", fa),   # fork: same content,
+            ("fork", "lib/renamed_b.py", fb),   # different paths
+            ("other", "x.py", fz),              # unrelated
+        ],
+        ["repo", "path", "content"],
+    )
+    out = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in repo_fork_pairs(
+            files, max_hash_repos=10, min_shared=2
+        ).collect()
+    }
+    assert ("fork", "origin") in out
+    assert out[("fork", "origin")]["containment_ppm"] == 1_000_000
+    assert all("other" not in pair for pair in out)
+
+
+def test_repo_fork_pairs_stop_fingerprint_cap(spark):
+    """A fingerprint present in more repos than max_hash_repos (a
+    shared license header) is dropped before the self-join: with the
+    cap at 2, three repos sharing one header file produce no pairs."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        repo_fork_pairs,
+    )
+
+    header = " ".join(f"license{i}" for i in range(40))
+    files = spark.createDataFrame(
+        [(f"r{j}", "LICENSE", header) for j in range(3)],
+        ["repo", "path", "content"],
+    )
+    assert (
+        repo_fork_pairs(files, max_hash_repos=2, min_shared=1).count() == 0
+    )
+    assert (
+        repo_fork_pairs(files, max_hash_repos=3, min_shared=1).count() == 3
+    )
+
+
+def test_fork_families_transitive_and_singletons(spark):
+    """fork_families closes fork edges transitively (a fork of a fork
+    joins the original's family) and unions non-forked repos back as
+    their own singleton families."""
+    from hgcn_name_disambiguation_spark.operators.dedup import (
+        fork_families,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 900_000),
+            ("b", "c", 800_000),   # chain a-b-c => one family
+            ("c", "d", 10_000),    # below threshold: d stays out
+        ],
+        ["repo_a", "repo_b", "containment_ppm"],
+    ).withColumn("shared_fps", F.lit(9)) \
+     .withColumn("fp_a", F.lit(10)).withColumn("fp_b", F.lit(10))
+    repos = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], ["repo"]
+    )
+    fam = {
+        r["repo"]: r["family_id"]
+        for r in fork_families(
+            pairs, repos, min_containment_ppm=500_000
+        ).collect()
+    }
+    assert fam == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e"}
