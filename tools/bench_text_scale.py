@@ -37,6 +37,7 @@ from hgcn_name_disambiguation_spark.operators.dedup import (  # noqa: E402
     dup_span_stats,
     minhash_lsh_pairs,
     remove_dup_spans,
+    repo_fork_pairs,
 )
 from hgcn_name_disambiguation_spark.operators.textstats import (  # noqa: E402
     oov_stats,
@@ -98,6 +99,26 @@ def main(argv=None) -> int:
             d, n=3, num_hashes=64, bands=16, threshold=0.5,
             hash_mode="xxhash64",
         ).count(),
+        # repo-level fork detection over the derived repo-files shape:
+        # repos are per-copy disjoint (copy index folded into the repo
+        # name) and fingerprints are salt-disjoint across copies, so
+        # the fork-pair count scales exactly K x
+        "fork": lambda d: repo_fork_pairs(
+            d.select(
+                F.concat(
+                    F.lit("r"),
+                    F.expr("doc_id DIV 10000000").cast("string"),
+                    F.lit("_"),
+                    F.pmod("doc_id", F.lit(40)).cast("string"),
+                ).alias("repo"),
+                F.concat(
+                    F.lit("f"), F.col("doc_id").cast("string")
+                ).alias("path"),
+                F.col("text").alias("content"),
+            ),
+            max_hash_repos=20,
+            min_shared=5,
+        ).count(),
     }
 
     results = []
@@ -128,7 +149,7 @@ def main(argv=None) -> int:
                 )
                 for r in results
             ]
-            for op in ("span", "remove", "oov", "comp", "minhash")
+            for op in ("span", "remove", "oov", "comp", "minhash", "fork")
         },
         "repeats": args.repeats,
     }
