@@ -313,7 +313,10 @@ def orchestrate(args: argparse.Namespace) -> None:
 
 
 def write_report(summary: dict, lo: dict, hi: dict, ratio: float) -> None:
-    path = os.path.join(REPO, "BENCH_SCALING.md")
+    # BENCH_SCALING.md is a hand-curated multi-session history; never
+    # clobber it — each run writes its own timestamp-free latest-run
+    # file for manual integration.
+    path = os.path.join(REPO, "BENCH_SCALING_latest_run.md")
     lines = [
         "# Throughput scaling: N vs 4N parallelism",
         "",
