@@ -128,6 +128,11 @@ BENCH_QUERIES = [
     # containment-thresholded transitive fork families via CC
     "q84_repo_fork_pairs",
     "q85_fork_families",
+    # round-5 code-corpus curation: StarCoder-style quality screens
+    # (narrow codegen scan) and latest-commit snapshot resolution
+    # (one (repo, path) window shuffle + per-row sha256)
+    "q86_code_quality",
+    "q88_repo_snapshot",
 ]
 
 

@@ -39,9 +39,48 @@ from hgcn_name_disambiguation_spark.operators.dedup import (  # noqa: E402
     remove_dup_spans,
     repo_fork_pairs,
 )
+from hgcn_name_disambiguation_spark.operators.code_quality import (  # noqa: E402
+    code_quality_metrics,
+    latest_snapshot,
+    scan_secrets,
+)
 from hgcn_name_disambiguation_spark.operators.textstats import (  # noqa: E402
     oov_stats,
 )
+
+
+def _as_code_files(d, path_mod: int | None = None):
+    """Code-files shape from the salted docs: repos disjoint per copy,
+    one path per doc (or per doc_id % path_mod inside each copy, so
+    snapshot histories have a scale-constant version count while the
+    file count grows K x)."""
+    if path_mod is None:
+        path = F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+        repo_key = F.pmod(F.pmod("doc_id", F.lit(10_000_000)), F.lit(40))
+    else:
+        # repo derives from the PATH residue (as q88 does) so each
+        # (repo, path) key carries the full multi-version history
+        path_res = F.pmod(F.pmod("doc_id", F.lit(10_000_000)), F.lit(path_mod))
+        path = F.concat(
+            F.lit("f"),
+            F.expr("doc_id DIV 10000000").cast("string"),
+            F.lit("_"),
+            path_res.cast("string"),
+        )
+        repo_key = F.pmod(path_res, F.lit(40))
+    return d.select(
+        F.concat(
+            F.lit("r"),
+            F.expr("doc_id DIV 10000000").cast("string"),
+            F.lit("_"),
+            repo_key.cast("string"),
+        ).alias("repo"),
+        path.alias("path"),
+        F.concat(
+            F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 10, "0")
+        ).alias("commit"),
+        F.col("text").alias("content"),
+    )
 
 
 def replicated_salted(spark, sf_dir: str, k: int):
@@ -119,6 +158,13 @@ def main(argv=None) -> int:
             max_hash_repos=20,
             min_shared=5,
         ).count(),
+        # code-curation family: two narrow scan projections and the
+        # single (repo, path) window shuffle of snapshot resolution
+        "quality": lambda d: code_quality_metrics(_as_code_files(d)).count(),
+        "secrets": lambda d: scan_secrets(_as_code_files(d)).count(),
+        "snapshot": lambda d: latest_snapshot(
+            _as_code_files(d, path_mod=197)
+        ).count(),
     }
 
     results = []
@@ -149,7 +195,10 @@ def main(argv=None) -> int:
                 )
                 for r in results
             ]
-            for op in ("span", "remove", "oov", "comp", "minhash", "fork")
+            for op in (
+                "span", "remove", "oov", "comp", "minhash", "fork",
+                "quality", "secrets", "snapshot",
+            )
         },
         "repeats": args.repeats,
     }
