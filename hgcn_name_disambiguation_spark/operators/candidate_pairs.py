@@ -35,10 +35,13 @@ from ..functions.names import block_key as _name_key
 
 
 def _plain_self_pairs(
-    index: DataFrame, key_cols: list[str], payload_cols: tuple[str, ...]
+    index: DataFrame,
+    key_cols: list[str],
+    payload_cols: tuple[str, ...],
+    bcast: bool = False,
 ) -> DataFrame:
     a = index.alias("a")
-    b = index.alias("b")
+    b = F.broadcast(index).alias("b") if bcast else index.alias("b")
     cond = F.col("a.block_key") == F.col("b.block_key")
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
@@ -58,6 +61,7 @@ def _salted_self_pairs(
     key_cols: list[str],
     payload_cols: tuple[str, ...],
     buckets: int,
+    bcast: bool = False,
 ) -> DataFrame:
     """Self-join with the hot join key split into `buckets` sub-keys
     (north_rule: salted repartitioning of skewed name blocks).
@@ -70,7 +74,8 @@ def _salted_self_pairs(
     `buckets`x replication of the (already capped) hot subset."""
     b = index.withColumn(
         "_sb", F.pmod(F.xxhash64("pub_id"), F.lit(buckets))
-    ).alias("b")
+    )
+    b = (F.broadcast(b) if bcast else b).alias("b")
     a = index.withColumn(
         "_tb", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).alias("a")
@@ -96,6 +101,7 @@ def _pairs_from_index(
     payload_cols: tuple[str, ...] = (),
     config: PipelineConfig | None = None,
     df_col: str | None = None,
+    bcast: bool = False,
 ) -> DataFrame:
     """Self-join an inverted index on (block_key, key_cols); emit
     canonical pairs (id_a < id_b), carrying payload_cols as _a/_b.
@@ -108,6 +114,11 @@ def _pairs_from_index(
     column the caller already computed (the hot-key-cap pass), so the
     split costs a filter, not a shuffle. Results are identical to the
     unsalted join — asserted by the salt-invariance test.
+
+    ``bcast=True`` (callers decide it from the index's MEASURED size,
+    _materialize_index) hints the probe side of each self-join into a
+    broadcast — the join then adds no exchange at all; salting stays
+    in place for the shuffle fallback at real scale.
     """
     if (
         config is None
@@ -115,16 +126,16 @@ def _pairs_from_index(
         or config.salt_df_threshold <= 0
         or df_col is None
     ):
-        return _plain_self_pairs(index, key_cols, payload_cols)
+        return _plain_self_pairs(index, key_cols, payload_cols, bcast)
 
     # The builders already computed per-(block, key) df for the hot-key
     # caps, so the hot/cold split is a FILTER, not another shuffle.
     thr = config.salt_df_threshold
     idx_cold = index.where(F.col(df_col) <= thr)
     idx_hot = index.where(F.col(df_col) > thr)
-    cold = _plain_self_pairs(idx_cold, key_cols, payload_cols)
+    cold = _plain_self_pairs(idx_cold, key_cols, payload_cols, bcast)
     hot = _salted_self_pairs(
-        idx_hot, key_cols, payload_cols, config.salt_buckets
+        idx_hot, key_cols, payload_cols, config.salt_buckets, bcast
     )
     return cold.unionByName(hot)
 
@@ -136,15 +147,23 @@ def _cap_hot_keys(
 
     Returns (kept_index, dropped_keys) — dropped_keys carries the df so
     lineage can count what was truncated.
+
+    df rides in as a WINDOW count over (block_key, key) rather than a
+    groupBy + join-back (round-6, guide §2.4): the join-back
+    duplicated the whole index subtree, and because every downstream
+    consumer (cold self-join side a/b, salted side a/b) now sits above
+    ONE canonically identical window exchange, Catalyst's
+    ReuseExchange materializes the index — scan, tokenize/explode,
+    shuffle — exactly once per channel instead of four times.
     """
-    df_counts = index.groupBy("block_key", *key_cols).agg(
-        F.count(F.lit(1)).alias("df")
+    w = Window.partitionBy("block_key", *key_cols)
+    counted = index.withColumn("df", F.count(F.lit(1)).over(w))
+    kept = counted.where(F.col("df") <= max_df)
+    dropped = (
+        counted.where(F.col("df") > max_df)
+        .select("block_key", *key_cols, "df")
+        .distinct()
     )
-    kept_keys = df_counts.where(F.col("df") <= max_df)
-    dropped = df_counts.where(F.col("df") > max_df)
-    # kept index carries the key's df so downstream salting can split
-    # hot/cold with a filter instead of re-aggregating.
-    kept = index.join(kept_keys, ["block_key", *key_cols], "inner")
     return kept, dropped
 
 
@@ -252,15 +271,16 @@ def token_idf_index(
     idx = pubs.select(
         "block_key", "pub_id", F.explode("title_toks").alias("tok")
     )
-    # df per (block, token); hot tokens capped out of the index.
-    df_counts = idx.groupBy("block_key", "tok").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df per (block, token) as a WINDOW count (one exchange the whole
+    # downstream — self-join sides, norm window — shares via
+    # ReuseExchange; the former groupBy + join-back re-executed the
+    # exploded index per consumer); hot tokens capped out of the index.
+    dfw = Window.partitionBy("block_key", "tok")
     block_sizes = pubs.groupBy("block_key").agg(
         F.count(F.lit(1)).alias("n_block")
     )
     return (
-        idx.join(df_counts, ["block_key", "tok"])
+        idx.withColumn("df", F.count(F.lit(1)).over(dfw))
         .where(F.col("df") <= config.max_token_df_per_block)
         # No broadcast hint: one row per block can itself be huge at
         # 10^12 scale — let AQE pick broadcast when it actually fits.

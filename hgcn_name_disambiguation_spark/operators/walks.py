@@ -10,12 +10,15 @@ relation's weighted neighbor distribution. The walk corpus feeds its
 skip-gram/GCN embedding (G3/G4 — not reproduced here; the reference's
 own ``GCN.py:127-130`` dead-layer bug is documented in SURVEY §2).
 
-Spark-first reformulation:
-- One DataFrame job over ALL blocks/nodes/walks at once: each step is
-  a typed-edge equi-join + per-walk argmin aggregation (map-side
-  combinable, no windows, no Python). ``walk_length`` shuffles total,
-  independent of corpus size — the iterative-join shape that survives
-  a 100x scale-up.
+Spark-first reformulation (round-6 optimized shape):
+- The neighbor distribution of every node is aggregated ONCE into a
+  dst-sorted adjacency array (one shuffle, degree-bounded by the
+  hot-key caps), and each walk step is a single equi-join against that
+  array followed by NARROW array folds — no per-step window sort, no
+  per-step aggregation. ``walk_length`` joins total, independent of
+  corpus size; when the adjacency fits the broadcast cap the steps add
+  ZERO exchanges (data-adaptive hint, never a hard-coded local[n]
+  assumption).
 - DETERMINISTIC WEIGHT-PROPORTIONAL next-hop: the reference draws the
   next node weight-proportionally from per-node alias tables
   (``name_disambiguation.py:996-1058``); a per-process RNG is not
@@ -26,8 +29,9 @@ Spark-first reformulation:
   crosses u * total. Same distribution as the alias table (P(nbr) =
   w_nbr / sum w), stable under any partitioning, retries, and AQE
   re-planning, and exactly replicable in SQL (the q36 DuckDB oracle):
-  the draw uses only IEEE +, *, and comparisons in a fixed order — no
-  transcendentals whose last-ulp could differ across engines.
+  the draw uses only IEEE +, *, and comparisons in a FIXED dst order —
+  the array fold adds the same doubles in the same sequence the
+  round-5 window formulation did, so results are bit-identical.
 - Dead ends: a walk with no neighbor in the current relation stops
   (emits no further rows); the reference instead emits negative
   samples and keeps cycling — negatives are a training-time concern
@@ -39,11 +43,16 @@ Spark-first reformulation:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import os
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 _CHANNEL_FLAG = {"A": "w_coauthor", "T": "w_title", "V": "w_venue"}
 
 _U_DENOM = 16 ** 6  # 24-bit uniform granularity; max u = 1 - 2^-24
+
+
+from .util import adaptive_broadcast as _adaptive_broadcast
 
 
 def _step_uniform(walk_id, step: int, hash_mode: str, seed: int):
@@ -58,6 +67,33 @@ def _step_uniform(walk_id, step: int, hash_mode: str, seed: int):
     else:
         x = F.pmod(F.xxhash64(s), F.lit(_U_DENOM)).cast("double")
     return x / F.lit(float(_U_DENOM))
+
+
+def _prefix_pick(nbrs: Column, u: Column) -> Column:
+    """First neighbor in array order whose PRECOMPUTED running weight
+    sum crosses ``u * total`` — the deterministic cumulative-threshold
+    draw over a channel-filtered adjacency array of (dst, cum) entries
+    (built once, in dst order, by a window at aggregation time).
+
+    total = the last entry's prefix sum (weights are strictly
+    positive, so the cumulative sum is strictly increasing and the
+    final entry carries the full sum). The qualifying set
+    {cum > u * total} is a suffix in dst order, so its FIRST element
+    is exactly the round-5 window formulation's MIN(dst) crossing —
+    bit-identical, because the prefix sums were accumulated over the
+    same filtered rows in the same dst order with the same IEEE
+    additions. Returns NULL when no entry qualifies (dead walk /
+    empty channel — F.get is null-safe on empty/short arrays).
+
+    Everything here is O(degree) per row with ONE field compare per
+    element — no nested aggregate is ever re-evaluated per element
+    (an aggregate-inside-aggregate formulation measured 15s/step at
+    sf0.1; a fat multi-channel struct with CASE per element measured
+    ~7x this form)."""
+    tot = F.get(nbrs, F.size(nbrs) - 1).getField("cum")
+    thr = u * tot
+    hit = F.filter(nbrs, lambda e: e.getField("cum") > thr)
+    return F.get(hit, 0).getField("dst")
 
 
 def metapath_walks(
@@ -80,28 +116,117 @@ def metapath_walks(
     from the current channel's neighbor weights (the reference's alias
     sampling, ``name_disambiguation.py:996-1058``), deterministically:
     hash-uniform threshold into the ordered cumulative weight sum.
+
+    Round-6 shape: the symmetric weighted adjacency is aggregated once
+    into per-node dst-sorted arrays (degree-bounded by the hot-key
+    caps) and checkpointed; each step is then ONE equi-join + narrow
+    array folds. vs the round-5 window form this removes the per-step
+    window sort AND the per-step argmin aggregation (3 exchanges/step
+    -> at most 1), and the adjacency exchange is shared by all steps.
+    Measured at sf0.1: q36 15.5s -> ~6s, identical output.
     """
     sym = None
+    wcols = list(dict.fromkeys(_CHANNEL_FLAG.values()))
     for a, b in ((F.col("id_a"), F.col("id_b")), (F.col("id_b"), F.col("id_a"))):
         half = edges.select(
             "block_key",
             a.alias("src"),
             b.alias("dst"),
-            *[F.col(f).alias(f) for f in set(_CHANNEL_FLAG.values())],
+            *[F.col(f).alias(f) for f in wcols],
         )
         sym = half if sym is None else sym.unionByName(half)
-    # consumed walk_length * walks_per_node times — truncate the
-    # edge-scoring subtree once instead of re-executing it per step
-    sym = sym.localCheckpoint(eager=True)
+    # Per-node, PER-CHANNEL adjacency arrays, sorted by dst (struct
+    # sort: dst is the first field and unique per (src, channel), so
+    # array order == the round-5 window's ORDER BY dst), each entry
+    # carrying its PRE-COMPUTED running weight sum. The prefix sums
+    # are accumulated by one window over the channel-filtered rows in
+    # the same dst order the round-5 per-step window used, so every
+    # partial sum is IEEE-identical. Built + materialized ONCE — the
+    # walk consumes it walk_length times, and the (possibly expensive)
+    # edge subtree is never re-executed per step. Keeping one array
+    # per channel makes the per-element step predicate a single
+    # compare on a 2-field struct (the fat one-array variant measured
+    # ~7x slower per step: interpreted HOF lambdas pay per node
+    # visited).
+    from pyspark.sql import Window as _W
+
+    channels = list(dict.fromkeys(metapath))
+    # one (src, dst) row fans out to its positive channels via an
+    # exploded literal array — NOT per-channel where() branches, which
+    # would push different filters into the caller's edge subtree and
+    # defeat exchange reuse (measured: the whole candidate-pair build
+    # re-executed once per channel per direction)
+    ch_entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("ch"),
+                F.col(_CHANNEL_FLAG[c]).alias("w"),
+            )
+            for c in channels
+        ]
+    )
+    by_ch = sym.select(
+        "block_key",
+        "src",
+        "dst",
+        F.explode(
+            F.filter(ch_entries, lambda e: e.getField("w") > 0)
+        ).alias("e"),
+    ).select(
+        "block_key",
+        "src",
+        "dst",
+        F.col("e.w").alias("w"),
+        F.col("e.ch").alias("ch"),
+    )
+    # ONE window pass partitioned by (block_key, src) — the SAME key
+    # the groupBy below clusters on, so the aggregation reuses the
+    # window's exchange (2 exchanges -> 1). Ordering by (ch, dst)
+    # keeps each channel's rows in dst order; the per-channel
+    # conditional running sums skip other channels' rows (sum ignores
+    # NULL), so every prefix sum is the channel-filtered dst-ordered
+    # accumulation, IEEE-identical to the round-5 per-step window.
+    wcum = _W.partitionBy("block_key", "src").orderBy("ch", "dst")
+    with_cum = by_ch.select(
+        "block_key",
+        "src",
+        "dst",
+        "ch",
+        *[
+            F.sum(
+                F.when(F.col("ch") == c, F.col("w"))
+            ).over(wcum).alias(f"cum_{c}")
+            for c in channels
+        ],
+    )
+    cum_of_row = F.when(
+        F.col("ch") == channels[0], F.col(f"cum_{channels[0]}")
+    )
+    for c in channels[1:]:
+        cum_of_row = cum_of_row.when(F.col("ch") == c, F.col(f"cum_{c}"))
+    adj = (
+        with_cum.withColumn("cum", cum_of_row)
+        .groupBy("block_key", "src")
+        .agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("ch") == c, F.struct("dst", "cum")
+                        )
+                    )
+                ).alias(f"nbrs_{c}")
+                for c in channels
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj = _adaptive_broadcast(adj, adj.count())
 
     # ALL walk indices ride one frame (the walk index is a data
-    # column, not a DAG branch): walk_length joins total instead of
-    # walk_length * walks_per_node — each step joins 2x the rows
-    # through the same shuffle, which beats twice the stages at any
-    # scale. The step's relation channel depends on the walk index
-    # ((w + s) % len(metapath), the reference's rotating start), so
-    # the channel is resolved per ROW: equi-join on (block, node),
-    # then a CASE filter on the walk's channel flag for this step.
+    # column, not a DAG branch): the step's relation channel depends on
+    # the walk index ((w + s) % len(metapath), the reference's rotating
+    # start), so the channel is resolved per ROW inside the fold.
     path_arr = F.array(*[F.lit(c) for c in metapath])
     cur = pubs.crossJoin(
         F.broadcast(
@@ -115,61 +240,62 @@ def metapath_walks(
         F.col("pub_id").alias("node"),
         "_w",
     )
-    flag_of = {c: F.col(f) for c, f in _CHANNEL_FLAG.items()}
+    # The per-step work (hash draw + array scan) is CPU-bound and the
+    # broadcast join PRESERVES the stream side's partitioning — a
+    # small parquet start frame (1 scan partition) would serialize
+    # every step onto one task. Widen ONLY when under-parallel (the
+    # brute_force_topk pattern): at real scale the frame already has
+    # >= defaultParallelism partitions and this adds no Exchange.
+    # (partition probe on the scan-only pubs plan: cur is a broadcast
+    # cross join of pubs, so it inherits pubs' partitioning)
+    par = pubs.sparkSession.sparkContext.defaultParallelism
+    if pubs.rdd.getNumPartitions() < par:
+        cur = cur.repartition(par)
     frames = [cur.withColumn("step", F.lit(0))]
     for s in range(walk_length):
         ch = F.element_at(
             path_arr, ((F.col("_w") + s) % len(metapath)) + 1
         )
-        chan_ok = F.lit(False)
-        chan_w = F.lit(0.0)
-        for c in dict.fromkeys(metapath):
-            chan_ok = F.when(ch == c, flag_of[c] > 0).otherwise(chan_ok)
-            chan_w = F.when(ch == c, flag_of[c]).otherwise(chan_w)
-        cand = cur.join(
-            sym.select(
-                F.col("block_key").alias("_bk"),
-                "src",
-                "dst",
-                *[F.col(f) for f in set(_CHANNEL_FLAG.values())],
-            ),
-            (cur["block_key"] == F.col("_bk"))
-            & (cur["node"] == F.col("src")),
-        ).where(chan_ok).select(
-            cur["block_key"],
-            "walk_id",
-            "_w",
-            F.col("dst"),
-            chan_w.alias("wv"),
-            _step_uniform(F.col("walk_id"), s + 1, hash_mode, seed)
-            .alias("u"),
-        )
-        # weight-proportional draw: running weight sum in dst order
-        # (RANGE unbounded-preceding..current — identical default in
-        # DuckDB, and dst is unique per walk so RANGE == ROWS), pick
-        # the first neighbor whose cum crosses u * total. u < 1 -
-        # 2^-24 strictly, so u*tot < tot and a winner always exists.
-        # Each step frame is read twice (next hop + output union), but
-        # both reads land in ONE action, so Catalyst's ReuseExchange
-        # dedupes the step's shuffle — no O(L^2) recompute. Per-step
-        # localCheckpoint (separate jobs per step) measured 1.6x
-        # SLOWER than this single-DAG form at sf0.1. A sort-free
-        # variant (hash agg collect_list + sort_array + two dst-ordered
-        # array folds — md5-identical output) measured -36% at sf0.01
-        # but a WASH-to-worse at sf0.1 (medians 14.7s window vs 15.2s
-        # fold, paired idle-host repeats): at bench scale the join
-        # exchange dominates, not the window sort. Kept the window.
-        wcum = Window.partitionBy("block_key", "walk_id").orderBy("dst")
-        wall = Window.partitionBy("block_key", "walk_id")
+
+        # the walk's channel for this step selects which pre-filtered
+        # array to draw from — one row-level CASE, then a single-field
+        # compare per array element inside the pick
+        arr = F.when(ch == channels[0], F.col(f"nbrs_{channels[0]}"))
+        for c in channels[1:]:
+            arr = arr.when(ch == c, F.col(f"nbrs_{c}"))
+
+        u = _step_uniform(F.col("walk_id"), s + 1, hash_mode, seed)
         cur = (
-            cand.withColumn("cum", F.sum("wv").over(wcum))
-            # total = max(cum), NOT an unordered sum(wv): float addition
-            # is order-sensitive, and max(cum) pins the total to the
-            # same dst-ordered accumulation in every engine.
-            .withColumn("tot", F.max("cum").over(wall))
-            .where(F.col("cum") > F.col("u") * F.col("tot"))
-            .groupBy("block_key", "walk_id", "_w")
-            .agg(F.min("dst").alias("node"))
+            cur.join(
+                adj.select(
+                    F.col("block_key").alias("_bk"),
+                    F.col("src").alias("_src"),
+                    *[f"nbrs_{c}" for c in channels],
+                ),
+                (cur["block_key"] == F.col("_bk"))
+                & (cur["node"] == F.col("_src")),
+            )
+            .select(
+                cur["block_key"],
+                "walk_id",
+                "_w",
+                _prefix_pick(arr, u).alias("node"),
+            )
+            # a walk with no neighbor in this step's channel stops here
+            .where(F.col("node").isNotNull())
+            # plan barrier: without it the optimizer inlines the pick
+            # expression behind `node` into the NEXT step's join key,
+            # filter, and output projection, and the expression tree
+            # grows multiplicatively per step. persist() (not
+            # localCheckpoint) because it stays fully lazy — a lazy
+            # localCheckpoint still runs doExecute at construction,
+            # which under AQE materializes every query stage
+            # synchronously on the driver (measured ~2s/step of
+            # construction wall); the InMemoryRelation barrier defers
+            # everything to the action while still stopping the
+            # optimizer from rewriting through it. The step frame is
+            # one narrow row per live walk, so the cache is tiny.
+            .persist()
         )
         frames.append(cur.withColumn("step", F.lit(s + 1)))
     out = frames[0]
@@ -219,7 +345,11 @@ def walk_training_pairs(
       u = hash(seed:walk:step:win:k), first dst in order whose
       running neg_weight sum crosses u * total. Nodes absent from the
       frame emit no negatives (the reference skips sampler==0 nodes
-      the same way).
+      the same way). Round-6 shape: the per-node distance distribution
+      is aggregated once into a dst-sorted array and each draw is ONE
+      join row + a narrow fold — the round-5 form materialized
+      |draws| x |dist-neighborhood| rows (33M at sf0.1) through a
+      window + re-aggregation; the fold emits one row per draw.
     - stuck walks (last emitted step < walk_length): one negative
       batch keyed win=0, matching the reference's stuck branch.
 
@@ -284,10 +414,12 @@ def walk_training_pairs(
         )
     )
 
-    # negative draws: one row per (anchor, k); the draw joins the
-    # anchor to its node's distance rows and picks the cumulative
-    # crossing — per-anchor candidate sets are the sparse dist<=max
-    # neighborhoods, so the join is bounded, never n^2.
+    # negative draws: one row per (anchor, k); the anchor joins its
+    # node's pre-aggregated dst-sorted distance array and a narrow
+    # fold picks the cumulative crossing — per-anchor candidate sets
+    # are the sparse dist<=max neighborhoods, degree-bounded, and the
+    # join emits ONE row per draw (the round-5 window form emitted one
+    # row per (draw, candidate) and re-aggregated them).
     anchors = pos.select(
         "block_key", "walk_id", "step", "win", "u_i"
     ).unionByName(stuck)
@@ -309,24 +441,42 @@ def walk_training_pairs(
             seed,
         ),
     )
-    wcum = Window.partitionBy("block_key", "src").orderBy("dst")
-    wall = Window.partitionBy("block_key", "src")
-    cum = (
-        neg_weights.select("block_key", "src", "dst", "neg_weight")
-        .withColumn("cum", F.sum("neg_weight").over(wcum))
-        .withColumn("tot", F.max("cum").over(wall))
+    from pyspark.sql import Window as _W
+
+    ncum = _W.partitionBy("block_key", "src").orderBy("dst")
+    nadj = (
+        neg_weights.select(
+            "block_key",
+            "src",
+            "dst",
+            "neg_weight",
+            F.sum("neg_weight").over(ncum).alias("cum"),
+        )
+        .groupBy("block_key", "src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dst", "cum"))
+            ).alias("nbrs")
+        )
+        .localCheckpoint(eager=True)
     )
+    nadj = _adaptive_broadcast(nadj, nadj.count())
     neg = (
         drawn.join(
-            cum,
-            (drawn["block_key"] == cum["block_key"])
-            & (drawn["u_i"] == cum["src"]),
+            nadj,
+            (drawn["block_key"] == nadj["block_key"])
+            & (drawn["u_i"] == nadj["src"]),
         )
-        .where(F.col("cum") > F.col("u") * F.col("tot"))
-        .groupBy(
-            drawn["block_key"], "walk_id", "step", "win", "k", "u_i"
+        .select(
+            drawn["block_key"],
+            "walk_id",
+            "step",
+            "win",
+            "k",
+            "u_i",
+            _prefix_pick(F.col("nbrs"), F.col("u")).alias("u_j"),
         )
-        .agg(F.min("dst").alias("u_j"))
+        .where(F.col("u_j").isNotNull())
     )
 
     out = pos.select(
@@ -370,8 +520,8 @@ def bfs_negative_weights(
     distributed form returns the SPARSE part only: (block_key, src,
     dst, dist, neg_weight) for 2 <= dist <= max_hops, computed as
     iterative BFS frontier joins (unit weights make Dijkstra = BFS).
-    Each hop is one equi-join + one anti-join against the known set —
-    max_hops shuffles total. The unreachable mass (weight
+    Each hop is one equi-join + dedup + one anti-join against the
+    known set — max_hops shuffles total. The unreachable mass (weight
     ``max_hops`` per the reference's unreachable -> 6 with
     max_hops = 6) is uniform, so a sampler needs only the per-node
     unreachable COUNT: n_block - |reachable <= max_hops| - 1 —
@@ -380,6 +530,18 @@ def bfs_negative_weights(
     max_hops (pairs farther than max_hops hops fold into the
     unreachable mass; the reference keeps exact distances > 6 for the
     rare reachable-but-distant pair).
+
+    Round-6 shape (guide §2.3 "shuffle fewer bytes", §2.4): the hop
+    expansion emits |paths| = sum deg^2 rows (25.8M at sf0.1), and the
+    round-5 form deduplicated them as (block_key, src, dst) STRING
+    triples — the hash aggregate on wide string keys was 70% of q37.
+    Now every (block, node) is mapped once through an integer
+    dictionary (internal ids only; outputs translate back), the hop
+    set is halved to canonical src < dst pairs before the dedup (an
+    undirected path always has its mirror, so nothing is lost and the
+    mirror is restored after), and the dedup runs on two longs — the
+    codegen fast-path. Translation joins touch only the node
+    dictionary and the final sparse output, never the path volume.
     """
     sym = None
     # ANY evidence connects for distance purposes — including 1-token
@@ -400,36 +562,95 @@ def bfs_negative_weights(
             "block_key", a.alias("src"), b.alias("dst")
         )
         sym = half if sym is None else sym.unionByName(half)
-    sym = sym.distinct().localCheckpoint(eager=False)
+    sym = sym.distinct()
 
-    known = sym.withColumn("dist", F.lit(1))
-    frontier = known
+    # integer node dictionary — ids are run-internal (pinned by the
+    # eager checkpoint; monotonically_increasing_id is injective by
+    # construction), the output is translated back to the caller's
+    # string ids, so no ordering property is required of them.
+    nodes = (
+        sym.select("block_key", F.col("src").alias("node"))
+        .distinct()
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    nodes = _adaptive_broadcast(nodes, nodes.count())
+    sym_int = (
+        sym.join(
+            nodes.select(
+                "block_key", F.col("node").alias("src"), F.col("nid").alias("s")
+            ),
+            ["block_key", "src"],
+        )
+        .join(
+            nodes.select(
+                "block_key", F.col("node").alias("dst"), F.col("nid").alias("d")
+            ),
+            ["block_key", "dst"],
+        )
+        .select("s", "d")
+        .localCheckpoint(eager=True)
+    )
+    sym_int = _adaptive_broadcast(sym_int, sym_int.count())
+
+    # canonical (s < d) known set; frontier stays directional for the
+    # expansion join, mirrored from the canonical rows (narrow union).
+    known_c = sym_int.where(F.col("s") < F.col("d")).withColumn(
+        "dist", F.lit(1)
+    )
+    frontier_dir = sym_int
     for h in range(2, max_hops + 1):
         step = (
-            frontier.alias("f")
-            .join(
-                sym.alias("s"),
-                (F.col("f.block_key") == F.col("s.block_key"))
-                & (F.col("f.dst") == F.col("s.src")),
-            )
-            .select(
-                F.col("f.block_key").alias("block_key"),
-                F.col("f.src").alias("src"),
-                F.col("s.dst").alias("dst"),
-            )
-            .where(F.col("src") != F.col("dst"))
+            frontier_dir.alias("f")
+            .join(sym_int.alias("x"), F.col("f.d") == F.col("x.s"))
+            .select(F.col("f.s").alias("s"), F.col("x.d").alias("d"))
+            # canonical halving BEFORE the dedup: the mirror path
+            # (d .. s) always exists in the undirected expansion, so
+            # keeping s < d loses nothing and halves the hash-agg input
+            .where(F.col("s") < F.col("d"))
             .distinct()
         )
-        frontier = step.join(
-            known.select("block_key", "src", "dst"),
-            ["block_key", "src", "dst"],
-            "left_anti",
-        ).withColumn("dist", F.lit(h)).localCheckpoint(eager=False)
-        known = known.unionByName(frontier)
-    return known.where(F.col("dist") >= 2).select(
-        "block_key",
-        "src",
-        "dst",
-        "dist",
-        F.col("dist").cast("double").alias("neg_weight"),
+        frontier_c = (
+            step.join(
+                known_c.select("s", "d"), ["s", "d"], "left_anti"
+            )
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        known_c = known_c.unionByName(frontier_c)
+        frontier_dir = frontier_c.select("s", "d").unionByName(
+            frontier_c.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+
+    # restore the mirror rows, then translate ids back to the caller's
+    # (block_key, string) node names — both joins touch only the
+    # sparse dist>=2 output and the node dictionary.
+    out_c = known_c.where(F.col("dist") >= 2)
+    out_int = out_c.unionByName(
+        out_c.select(
+            F.col("d").alias("s"), F.col("s").alias("d"), "dist"
+        )
+    )
+    return (
+        out_int.join(
+            nodes.select(
+                F.col("nid").alias("s"),
+                F.col("block_key").alias("block_key"),
+                F.col("node").alias("src"),
+            ),
+            "s",
+        )
+        .join(
+            nodes.select(
+                F.col("nid").alias("d"), F.col("node").alias("dst")
+            ),
+            "d",
+        )
+        .select(
+            "block_key",
+            "src",
+            "dst",
+            "dist",
+            F.col("dist").cast("double").alias("neg_weight"),
+        )
     )
