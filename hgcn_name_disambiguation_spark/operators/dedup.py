@@ -131,7 +131,12 @@ def ngram_jaccard_pairs(
     index only* (truncation policy; never silently — count dropped
     via lineage at call sites).
     """
-    idx = shingle_index(df, id_col, text_col, n)
+    # four consumers read the exploded index (global df counts, the
+    # rarest-first ranking, per-doc sizes, the verify sets) — without
+    # a barrier each re-runs scan + normalize + posexplode + lead
+    # window + dedup (round-6: one materialization, measured ~2x on
+    # the whole operator at sf0.1)
+    idx = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     df_counts = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
     # rarest-first rank of each shingle within its doc
@@ -213,6 +218,11 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     sh = shingle_index(df, id_col, text_col, n)
+    # hashing stays INLINE in the aggregation's input projection: a
+    # distinct-shingle + hash-vector join-back variant was measured
+    # 2.4x SLOWER at sf0.1 (the num_hashes-wide value arrays are the
+    # heavy part, and the join forces them through a shuffle and the
+    # agg projection; the duplicate hash calls it saved were cheaper)
     mins = sh.groupBy("doc_id").agg(
         *[F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -245,6 +255,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
+    # md5 mode: signatures are num_hashes 32-char hex strings (~2 KB a
+    # row) and cost real hashing to rebuild — materialize ONCE and
+    # keep the heavy array OUT of the band self-join (slim
+    # (doc, band, bucket) keys shuffle; sigs re-attach to the few
+    # candidates — guide §2.3/§8). xxhash64 mode: sigs are 64 longs
+    # (~512 B) and near-free to recompute — the payload-carrying join
+    # measured faster than a checkpoint + re-attach round trip.
+    slim_band = hash_mode == "md5"
+    if slim_band:
+        sigs = sigs.localCheckpoint(eager=True)
 
     def band_bucket(bi):
         elems = [
@@ -255,9 +275,10 @@ def minhash_lsh_pairs(
             return F.md5(F.concat_ws("|", *elems))
         return F.xxhash64(*elems)
 
+    band_cols = [] if slim_band else ["sig"]
     band_rows = sigs.select(
         "doc_id",
-        "sig",
+        *band_cols,
         F.explode(
             F.array(
                 *[
@@ -269,7 +290,12 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        *band_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cands = (
@@ -282,11 +308,25 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            *(
+                []
+                if slim_band
+                else [
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"),
+                ]
+            ),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if slim_band:
+        sa = sigs.select(
+            F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+        )
+        cands = cands.join(sa, "id_a").join(sb, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m

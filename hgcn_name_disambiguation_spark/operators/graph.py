@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -41,10 +42,11 @@ def pagerank(
     degree-annotated adjacency + ONE sum agg — ``iterations`` shuffle
     rounds total, fixed and data-independent, the same bounded-stage
     contract as the BFS operator (``walks.bfs_negative_weights``).
-    Lineage is truncated each round (lazy localCheckpoint) so the plan
-    stays flat. Undirected semantics: each input pair contributes in
-    both directions; ``deg`` = neighbor count; every endpoint of the
-    edge frame is a node (deg >= 1, so no dangling-mass term).
+    Lineage is truncated every few rounds (lazy localCheckpoint) so a
+    deep run still keeps a bounded plan. Undirected semantics: each
+    input pair contributes in both directions; ``deg`` = neighbor
+    count; every endpoint of the edge frame is a node (deg >= 1, so no
+    dangling-mass term).
 
     Returns (block_col, node_id, deg, rank_micro) — integers only.
     """
@@ -75,7 +77,16 @@ def pagerank(
         f"(CAST({damping_num} AS BIGINT) * rank_micro)"
         f" div (CAST({damping_den} AS BIGINT) * deg)"
     )
-    for _ in range(iterations):
+    # Iterations CHAIN inside one plan (round-6): every round's join
+    # reads the adjacency through a canonically identical exchange, so
+    # ReuseExchange shuffles adj ONCE for all rounds — a per-round
+    # localCheckpoint compiled a separate plan per round and re-
+    # shuffled adj each time. Lineage is truncated every
+    # `checkpoint_every` rounds so a deep fixed-iteration run still
+    # keeps a bounded plan; integer updates make all of this
+    # value-neutral.
+    checkpoint_every = 5
+    for i in range(iterations):
         contrib = (
             adj.join(
                 ranks.select(
@@ -91,17 +102,15 @@ def pagerank(
             .groupBy(block_col, "node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, [block_col, "node"], "left")
-            .select(
-                block_col,
-                "node",
-                (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0)))
-                .cast("long")
-                .alias("rank_micro"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contrib, [block_col, "node"], "left").select(
+            block_col,
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.join(
         deg.select(block_col, F.col("src").alias("node"), "deg"),
         [block_col, "node"],

@@ -170,12 +170,20 @@ def brute_force_topk(
     so the corpus never shuffles; ties broken by neighbor id asc.
     exclude_self drops query_id == nbr_id BEFORE ranking, so the k
     slots all go to real neighbors (leave-one-out semantics)."""
+    # Norms ride as per-ROW columns computed below the join (round-6,
+    # guide §2.3 "don't compute things you throw away"): the fused
+    # cosine(q, c) expression re-derived both norms per PAIR — for a
+    # Q x N scoring that is 2QN redundant array folds; per-side
+    # precompute leaves the identical dot/(qn*cn) IEEE arithmetic
+    # (same operand order), so scores are bit-unchanged.
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("_cn", _norm(F.col("cvec")))
     # The broadcast cross join does O(|corpus| x |queries|) cosine work
     # INSIDE the corpus scan stage — if the scan yields fewer partitions
     # than cores (one small parquet file), the whole quadratic phase
@@ -188,7 +196,11 @@ def brute_force_topk(
     scored = c.crossJoin(q).select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("nbr_id"))
@@ -269,7 +281,12 @@ def lsh_topk(
     tables = _hyperplanes(num_tables, num_planes, dim, seed)
 
     def bucketize(df, idc, vecc, out_id):
-        rows = df.select(F.col(idc).alias(out_id), F.col(vecc).alias(f"{out_id}_vec"))
+        # per-side norm precompute (below the join) — the rescore then
+        # never re-folds a norm per candidate pair; identical
+        # dot/(qn*cn) arithmetic, bit-unchanged scores
+        rows = df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(f"{out_id}_vec")
+        ).withColumn(f"{out_id}_n", _norm(F.col(f"{out_id}_vec")))
         buckets = F.array(
             *[
                 F.struct(
@@ -280,21 +297,28 @@ def lsh_topk(
             ]
         )
         return rows.select(
-            out_id, f"{out_id}_vec", F.explode(buckets).alias("tb")
-        ).select(out_id, f"{out_id}_vec", "tb.tbl", "tb.bkt")
+            out_id, f"{out_id}_vec", f"{out_id}_n", F.explode(buckets).alias("tb")
+        ).select(out_id, f"{out_id}_vec", f"{out_id}_n", "tb.tbl", "tb.bkt")
 
     cb = bucketize(corpus, id_col, vec_col, "nbr_id")
     qb = bucketize(queries, query_id_col, vec_col, "query_id")
 
     cands = (
         cb.join(qb, ["tbl", "bkt"])
-        .select("query_id", "query_id_vec", "nbr_id", "nbr_id_vec")
+        .select(
+            "query_id", "query_id_vec", "query_id_n",
+            "nbr_id", "nbr_id_vec", "nbr_id_n",
+        )
         .dropDuplicates(["query_id", "nbr_id"])
     )
     scored = cands.select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("query_id_vec"), F.col("nbr_id_vec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("query_id_vec"), F.col("nbr_id_vec"))
+            / (F.col("query_id_n") * F.col("nbr_id_n")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
@@ -398,37 +422,64 @@ def ivf_topk(
     cent_vecs = sample_centroids(
         corpus, id_col, vec_col, num_cells, seed, hash_mode
     )
-    def cell_scores(vec: Column) -> Column:
+    # centroid norms folded in PYTHON with the exact per-element IEEE
+    # accumulation _norm uses (left-to-right acc + x*x, then sqrt), so
+    # dot/(row_norm * lit_norm) is bit-identical to the fused form
+    # while evaluating the row's norm once instead of once per cell
+    import math
+
+    def _py_norm(cv):
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def cell_scores(vec: Column, norm_col: Column) -> Column:
         return F.array(
             *[
                 F.struct(
-                    F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6).alias("cos"),
+                    F.round(
+                        _dot(vec, F.array(*[F.lit(x) for x in cv]))
+                        / (norm_col * F.lit(_py_norm(cv))),
+                        6,
+                    ).alias("cos"),
                     F.lit(ci).alias("cell"),
                 )
                 for ci, cv in cent_vecs
             ]
         )
 
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("_cn", _norm(F.col("cvec")))
     c = c.withColumn(
-        "cell", F.array_max(cell_scores(F.col("cvec")))["cell"]
+        "cell", F.array_max(cell_scores(F.col("cvec"), F.col("_cn")))["cell"]
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).withColumn("_qn", _norm(F.col("qvec")))
     q = q.withColumn(
         "cells",
         F.slice(
-            F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe
+            F.reverse(
+                F.array_sort(cell_scores(F.col("qvec"), F.col("_qn")))
+            ),
+            1,
+            nprobe,
         ),
     ).select(
-        "query_id", "qvec", F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell")
+        "query_id", "qvec", "_qn",
+        F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell"),
     )
 
     cands = q.join(c, "cell").select(
         "query_id",
         "nbr_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
