@@ -919,7 +919,14 @@ def semantic_dedup(
             *[
                 F.struct(
                     F.round(
-                        cosine(vec, F.array(*[F.lit(x) for x in cv])), 6
+                        cosine(
+                            vec,
+                            F.expr(
+                                "array("
+                                + ",".join(f"{float(x)!r}D" for x in cv)
+                                + ")"
+                            ),
+                        ), 6
                     ).alias("cos"),
                     F.lit(ci).alias("cell"),
                 )

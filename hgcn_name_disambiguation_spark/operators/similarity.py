@@ -236,7 +236,13 @@ def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int):
 def _bucket_expr(vec: Column, planes) -> Column:
     bits = []
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
+        # ONE sql-parsed array literal instead of dim F.lit() py4j
+        # calls (classic pyspark expands lit(list) element-wise too);
+        # repr() round-trips every double exactly, so values are
+        # identical and plan construction is ~100x cheaper
+        arr = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+        )
         bits.append(
             F.when(_dot(vec, arr) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
         )
@@ -439,7 +445,14 @@ def ivf_topk(
             *[
                 F.struct(
                     F.round(
-                        _dot(vec, F.array(*[F.lit(x) for x in cv]))
+                        _dot(
+                            vec,
+                            F.expr(
+                                "array("
+                                + ",".join(f"{float(x)!r}D" for x in cv)
+                                + ")"
+                            ),
+                        )
                         / (norm_col * F.lit(_py_norm(cv))),
                         6,
                     ).alias("cos"),
