@@ -61,7 +61,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_as_pubs(docs: DataFrame) -> DataFrame:
     """Map the documents table onto the ER engine's publication model:
-    block = lang, pub = doc, 'coauthor' = source, venue = source."""
+    block = lang, pub = doc, 'coauthor' = source, venue = source.
+
+    (A widen-the-scan repartition was measured here in round 6 and
+    REJECTED: at bench scale the added exchange + 32-task scheduling
+    cost ~2.4s while the single-task tokenize it parallelized was
+    ~1s; at real scale the scan is already wide. See
+    OPTIMIZATION_r06.md.)"""
     return docs.select(
         F.col("lang").alias("block_key"),
         F.col("doc_id").cast("string").alias("pub_id"),

@@ -56,45 +56,6 @@ def _plain_self_pairs(
     return a.join(b, cond, "inner").select(*out)
 
 
-def _salted_self_pairs(
-    index: DataFrame,
-    key_cols: list[str],
-    payload_cols: tuple[str, ...],
-    buckets: int,
-    bcast: bool = False,
-) -> DataFrame:
-    """Self-join with the hot join key split into `buckets` sub-keys
-    (north_rule: salted repartitioning of skewed name blocks).
-
-    Each right row gets ONE salt bucket (hash of pub_id); each left row
-    is replicated to ALL buckets, so every (i, j) pair meets exactly
-    once, on join key (block, attr, bucket_of_j). A key with df = d no
-    longer funnels its C(d,2) fan-out through one shuffle partition —
-    it spreads over `buckets` sub-keys at the cost of a bounded
-    `buckets`x replication of the (already capped) hot subset."""
-    b = index.withColumn(
-        "_sb", F.pmod(F.xxhash64("pub_id"), F.lit(buckets))
-    )
-    b = (F.broadcast(b) if bcast else b).alias("b")
-    a = index.withColumn(
-        "_tb", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
-    ).alias("a")
-    cond = (F.col("a.block_key") == F.col("b.block_key")) & (
-        F.col("a._tb") == F.col("b._sb")
-    )
-    for k in key_cols:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    cond = cond & (F.col("a.pub_id") < F.col("b.pub_id"))
-    out = [
-        F.col("a.block_key").alias("block_key"),
-        F.col("a.pub_id").alias("id_a"),
-        F.col("b.pub_id").alias("id_b"),
-    ]
-    for c in payload_cols:
-        out += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
-    return a.join(b, cond, "inner").select(*out)
-
-
 def _pairs_from_index(
     index: DataFrame,
     key_cols: list[str],
@@ -129,15 +90,37 @@ def _pairs_from_index(
         return _plain_self_pairs(index, key_cols, payload_cols, bcast)
 
     # The builders already computed per-(block, key) df for the hot-key
-    # caps, so the hot/cold split is a FILTER, not another shuffle.
+    # caps, so the hot/cold split costs a per-row CASE, not a shuffle.
+    # ONE join serves both tiers (round-6): a key's salt-bucket count
+    # is 1 when cold (explode yields [0], pmod(h, 1) = 0 — no
+    # replication, every pair meets exactly once) and `salt_buckets`
+    # when hot. The former cold/hot branch pair re-executed the whole
+    # index subtree — including the df window above its shared
+    # exchange — once per branch per side (stage metrics showed the
+    # window+join stage duplicated at ~2s each in combined_edges).
     thr = config.salt_df_threshold
-    idx_cold = index.where(F.col(df_col) <= thr)
-    idx_hot = index.where(F.col(df_col) > thr)
-    cold = _plain_self_pairs(idx_cold, key_cols, payload_cols, bcast)
-    hot = _salted_self_pairs(
-        idx_hot, key_cols, payload_cols, config.salt_buckets, bcast
+    nb = F.when(
+        F.col(df_col) > thr, F.lit(config.salt_buckets)
+    ).otherwise(F.lit(1))
+    b = index.withColumn("_sb", F.pmod(F.xxhash64("pub_id"), nb))
+    b = (F.broadcast(b) if bcast else b).alias("b")
+    a = index.withColumn(
+        "_tb", F.explode(F.sequence(F.lit(0), nb - 1))
+    ).alias("a")
+    cond = (F.col("a.block_key") == F.col("b.block_key")) & (
+        F.col("a._tb") == F.col("b._sb")
     )
-    return cold.unionByName(hot)
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond = cond & (F.col("a.pub_id") < F.col("b.pub_id"))
+    out = [
+        F.col("a.block_key").alias("block_key"),
+        F.col("a.pub_id").alias("id_a"),
+        F.col("b.pub_id").alias("id_b"),
+    ]
+    for c in payload_cols:
+        out += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    return a.join(b, cond, "inner").select(*out)
 
 
 def _cap_hot_keys(

@@ -504,6 +504,9 @@ def importance_weights(
     feats = hashed_ngram_features(
         raw, id_col, text_col, num_buckets, hash_mode
     )
+    # consumed twice (the raw bag model and the per-doc scoring join)
+    # — one materialization instead of two feature-extraction passes
+    feats = feats.localCheckpoint(eager=True)
     tgt_feats = hashed_ngram_features(
         target, id_col, text_col, num_buckets, hash_mode
     )
@@ -541,6 +544,9 @@ def importance_weights(
     )
     if select_k is None:
         return scores
+    # scores feed both the top-k draw and the flag join — doc-count
+    # sized, materialize once
+    scores = scores.localCheckpoint(eager=True)
     topk = (
         scores.orderBy(F.desc("logratio_micro"), F.asc("doc_id"))
         .limit(select_k)

@@ -1123,6 +1123,10 @@ def clone_pairs(
         hash_mode=hash_mode,
         hash_bits=hash_bits,
     ).select("doc_id", "fp_hash").distinct()
+    # three consumers (sizes, stop-fp keep list, the self-join index)
+    # would each re-run the winnowing window otherwise — one
+    # materialization of the (already sparse) fingerprint set
+    fps = fps.localCheckpoint(eager=True)
 
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     keep = (
@@ -1221,6 +1225,9 @@ def repo_fork_pairs(
     rfp = fps.select(
         F.substring_index("doc_id", sep, 1).alias("repo"), "fp_hash"
     ).distinct()
+    # same three-consumer shape as clone_pairs: materialize the
+    # per-repo fingerprint union once instead of re-winnowing per ref
+    rfp = rfp.localCheckpoint(eager=True)
 
     sizes = rfp.groupBy("repo").agg(F.count(F.lit(1)).alias("n_fp"))
     keep = (

@@ -146,6 +146,9 @@ def document_vectors(
     toks = pubs.select(
         "block_key", "pub_id", F.explode("title_toks").alias("tok")
     ).dropDuplicates(["pub_id", "tok"])
+    # the corpus-df aggregation and the weighting join both consume the
+    # deduped token explode — materialize it once
+    toks = toks.localCheckpoint(eager=True)
     n_docs = pubs.select(F.count(F.lit(1)).alias("n"))
     df_counts = (
         toks.groupBy("tok")
