@@ -43,7 +43,6 @@ Spark-first reformulation (round-6 optimized shape):
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -123,7 +122,7 @@ def metapath_walks(
     array folds. vs the round-5 window form this removes the per-step
     window sort AND the per-step argmin aggregation (3 exchanges/step
     -> at most 1), and the adjacency exchange is shared by all steps.
-    Measured at sf0.1: q36 15.5s -> ~6s, identical output.
+    Measured at sf0.1: q36 16.0s -> 7.3s, identical output.
     """
     sym = None
     wcols = list(dict.fromkeys(_CHANNEL_FLAG.values()))

@@ -52,6 +52,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Round-6 memory stability (guide §5): checkpointed/persisted
+        # frames from earlier queries in a long-lived session occupy
+        # the UNEVICTABLE storage region (default 50% of unified
+        # memory) and can starve a later query's hash aggregates
+        # (observed: SparkOutOfMemoryError in the BFS hop dedup at
+        # sf1.0 after the walk queries' caches accumulated). Keep the
+        # protected-storage floor low — execution may evict cached
+        # blocks to disk — and GC the driver periodically so RDDs
+        # whose Python references are gone actually release their
+        # blocks between queries instead of after 30 minutes.
+        .config("spark.memory.storageFraction", "0.3")
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if extra_conf:
         for k, v in extra_conf.items():
