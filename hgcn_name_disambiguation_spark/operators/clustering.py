@@ -79,42 +79,54 @@ def connected_components(
     cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     cur = cur.localCheckpoint(eager=True)
 
-    # Convergence: edge set unchanged (count + order-free hash sum;
-    # decimal to avoid ANSI long overflow). The previous round's nxt
-    # signature IS this round's cur signature — compute each once.
-    def _sig(df):
-        return df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+    # Convergence test BEFORE each round (round-6): the alternating
+    # large-star/small-star iteration is at its fixpoint exactly when
+    # the canonical edge set is a STAR FOREST — every u points at a
+    # single v and no v is itself a u (at a star forest both star
+    # operations reproduce the set unchanged, and any non-star edge
+    # changes it). Testing the CURRENT set costs one tiny action on a
+    # materialized frame, whereas the round-5 signature-equality rule
+    # had to COMPUTE one extra full round (4 exchanges) only to find
+    # it identical — the converge-confirmation round is gone.
+    def _is_star_forest(df) -> bool:
+        deg = df.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        vs = df.select(F.col("v").alias("u")).distinct()
+        nonstar = (
+            deg.where(F.col("c") > 1)
+            .select("u")
+            .unionByName(deg.join(vs, "u", "left_semi").select("u"))
+        )
+        return nonstar.isEmpty()
 
     # Lineage-truncation cadence: localCheckpoint every
     # cc_checkpoint_every rounds (the expensive eager materialization
-    # to local disk); in-between rounds persist() in memory — the _sig
-    # action materializes it, so no round is recomputed, but the plan
-    # only resets at the cadence. Cuts checkpoint I/O ~k-fold while
-    # keeping the plan depth bounded at k join-rounds.
+    # to local disk); in-between rounds persist() in memory — the
+    # star-forest probe is the materializing action, so no round is
+    # recomputed, but the plan only resets at the cadence. Cuts
+    # checkpoint I/O ~k-fold while keeping the plan depth bounded at
+    # k join-rounds.
     every = max(1, config.cc_checkpoint_every)
-    cur_sig = _sig(cur)
     prev_persisted = None
-    for it in range(config.cc_max_iterations):
-        stars = _canon(_large_star(cur))
-        nxt = _canon(_small_star(stars))
-        is_ckpt_round = (it + 1) % every == 0
-        if is_ckpt_round:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist()
-        nxt_sig = _sig(nxt)  # action: materializes persist/checkpoint
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-            prev_persisted = None
-        if not is_ckpt_round:
-            prev_persisted = nxt
-        converged = (cur_sig.n == nxt_sig.n) and (cur_sig.h == nxt_sig.h)
-        cur, cur_sig = nxt, nxt_sig
-        if converged:
-            break
+    if not _is_star_forest(cur):  # degenerate inputs converge at once
+        for it in range(config.cc_max_iterations):
+            stars = _canon(_large_star(cur))
+            nxt = _canon(_small_star(stars))
+            is_ckpt_round = (it + 1) % every == 0
+            if is_ckpt_round:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+            # ONE action per round: the star-forest probe also
+            # materializes the persisted frame
+            done = _is_star_forest(nxt)
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+                prev_persisted = None
+            if not is_ckpt_round:
+                prev_persisted = nxt
+            cur = nxt
+            if done:
+                break
 
     # At fixpoint every edge is (node -> component root).
     comp = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
