@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..functions.names import block_key as _name_key
+from .util import adaptive_broadcast as _adaptive_broadcast
 
 
 def _plain_self_pairs(
@@ -348,6 +349,147 @@ def title_edges(
     )
 
 
+# unified multi-channel index type tags (tinyint — narrow shuffle key,
+# guide §2.3); values never leave this module
+_TYP_AUTHOR, _TYP_VENUE, _TYP_ORG, _TYP_TOK = 1, 2, 3, 4
+
+
+def _unified_channel_index(
+    pubs: DataFrame, config: PipelineConfig
+) -> DataFrame:
+    """ONE inverted index covering every relation channel:
+    (block_key, pub_id, typ, key, df, idf, norm).
+
+    Round-6 second pass (guide §2.4 "remove shuffles outright", §6 one
+    scan): the per-channel builders each re-scanned ``pubs`` and paid
+    their own df-window exchange + self-join + pair aggregation —
+    4 scans / ~4 index exchanges / 4 pair aggs for the combined graph.
+    Exploding ALL channel keys from one scan into a typed (typ, key)
+    index collapses that to one scan, one window exchange (whose
+    hash partitioning the self-join reuses — the index is materialized
+    by ``localCheckpoint``, which preserves the physical partitioning,
+    so the join adds NO exchange), and one pair aggregation.
+
+    Per-channel semantics are preserved exactly:
+    - author keys: normalized via the blocking-key function, focal
+      author excluded under any variant, de-duplicated per pub
+      (``array_distinct`` == the former dropDuplicates);
+    - venue / org keys: same null / placeholder / length filters;
+    - token keys: ``title_toks`` as-is (distinct per pub upstream);
+    - per-channel hot-key caps ride as a CASE over ``typ`` against the
+      SAME window df the former per-channel windows computed;
+    - tok rows carry idf = ln((n_block + 1) / df); the per-pub
+      idf-vector norms live in a separate tiny frame
+      (``_pub_token_norms``) that combined_edges re-attaches AFTER the
+      pair aggregation, so index rows never pay a norms exchange.
+    """
+    empty = F.array().cast("array<string>")
+
+    def entries(typ: int, keys_arr) -> "F.Column":
+        return F.transform(
+            F.coalesce(keys_arr, empty),
+            lambda k: F.struct(
+                F.lit(typ).cast("tinyint").alias("typ"), k.alias("key")
+            ),
+        )
+
+    auth_keys = F.filter(
+        F.array_distinct(F.transform(F.col("authors"), _name_key)),
+        lambda a: a.isNotNull()
+        & (a != F.lit(""))
+        & (a != F.col("block_key")),
+    )
+    venue_keys = F.filter(
+        F.array(F.col("venue")), lambda v: v.isNotNull()
+    )
+    tok_keys = F.col("title_toks")
+    parts = [
+        entries(_TYP_AUTHOR, auth_keys),
+        entries(_TYP_VENUE, venue_keys),
+    ]
+    if "org" in pubs.columns:
+        org_norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("org"), r"[^\p{L}\p{N}\s]+", " "),
+                r"\s+",
+                " ",
+            )
+        )
+        org_keys = F.filter(
+            F.array(org_norm),
+            lambda o: o.isNotNull()
+            & (F.length(o) > 3)
+            & ~o.isin(*config.venue_null_values),
+        )
+        parts.append(entries(_TYP_ORG, org_keys))
+    parts.append(entries(_TYP_TOK, tok_keys))
+
+    idx = pubs.select(
+        "block_key", "pub_id", F.explode(F.concat(*parts)).alias("e")
+    ).select(
+        "block_key",
+        "pub_id",
+        F.col("e.typ").alias("typ"),
+        F.col("e.key").alias("key"),
+    )
+
+    # per-(block, typ, key) df as ONE window count; the per-channel
+    # caps become a row-level CASE against the same df. The n_block
+    # join sits BELOW the window on purpose: a broadcast (or, at real
+    # scale, shuffle) join there leaves the window's
+    # (block, typ, key) hash partitioning as the index's output
+    # partitioning, which the self-join keys are a superset of — so
+    # the self-join adds NO exchange at any scale.
+    dfw = Window.partitionBy("block_key", "typ", "key")
+    cap = (
+        F.when(
+            F.col("typ") == _TYP_AUTHOR,
+            F.lit(config.max_coauthor_df_per_block),
+        )
+        .when(F.col("typ") == _TYP_VENUE, F.lit(config.max_venue_df_per_block))
+        .when(F.col("typ") == _TYP_ORG, F.lit(config.max_org_df_per_block))
+        .otherwise(F.lit(config.max_token_df_per_block))
+    )
+    block_sizes = pubs.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_block")
+    )
+    # No broadcast hint (token_idf_index note): AQE picks broadcast
+    # when block_sizes actually fits.
+    idx = (
+        idx.join(block_sizes, "block_key")
+        .withColumn("df", F.count(F.lit(1)).over(dfw))
+        .where(F.col("df") <= cap)
+        .withColumn(
+            "idf",
+            F.when(
+                F.col("typ") == _TYP_TOK,
+                F.log((F.col("n_block") + 1.0) / F.col("df")),
+            ),
+        )
+        .drop("n_block")
+    )
+    # Fully lazy on purpose (measured): an eager checkpoint of the
+    # index pays a full extra write+read pass over index rows (index
+    # rows >> pair rows — ~10% slower at 8x bench volume); the lazy
+    # form shares the window's exchange across the norms branch and
+    # both self-join sides via ReuseExchange. Per-pub idf norms are
+    # NOT attached here — combined_edges re-attaches them after the
+    # pair aggregation, where only pair rows (not every index row)
+    # cross the join.
+    return idx
+
+
+def _pub_token_norms(idx: DataFrame) -> DataFrame:
+    """Per-pub idf-vector SQUARED norm from the unified index's token
+    rows — (block_key, pub_id, _n2). Derived from the index subtree, so
+    its exchange is shared with the self-join sides via ReuseExchange."""
+    return (
+        idx.where(F.col("typ") == _TYP_TOK)
+        .groupBy("block_key", "pub_id")
+        .agg(F.sum(F.col("idf") * F.col("idf")).alias("_n2"))
+    )
+
+
 def combined_edges(
     pubs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -359,6 +501,16 @@ def combined_edges(
     absent relations as 0.0. This *is* the sparse combined graph — the
     reference's dense N x N adjacency never exists here.
 
+    Round-6 second pass: computed from ONE typed multi-channel index
+    (``_unified_channel_index``) through ONE self-join and ONE pair
+    aggregation — the per-channel union-of-aggregates formulation
+    (still available as coauthor_edges/venue_edges/title_edges/
+    org_edges, which the unit tests pin channel-by-channel) paid
+    4 scans + 4 per-channel aggs + a 4-way union + a final merge agg.
+    Identical output multiset: channels cannot cross-match (typ is a
+    join key) and every per-channel weight/gate is reproduced as a
+    conditional aggregate over the same matched rows.
+
     ``config.max_pairs_per_block > 0`` caps candidate pairs per block,
     keeping the strongest-evidence pairs (fused-weight desc,
     deterministic tiebreak); truncation is COUNTED via ``observe()``
@@ -366,40 +518,84 @@ def combined_edges(
     never silent. The cap is the last-resort safety valve for a block
     that survives every hot-key cap yet still explodes; default 0 (off).
     """
-    ca = coauthor_edges(pubs, config)
-    ve = venue_edges(pubs, config)
-    ti = title_edges(pubs, config)
-    keys = ["block_key", "id_a", "id_b"]
-    null_d = F.lit(None).cast("double")
-    cols = ["w_coauthor", "w_title", "title_cos", "w_venue", "w_org"]
-
-    def shaped(df: DataFrame, present: tuple[str, ...]) -> DataFrame:
-        return df.select(
-            *keys,
-            *[
-                (F.col(c) if c in present else null_d).alias(c)
-                for c in cols
-            ],
+    side = _unified_channel_index(pubs, config)
+    pairs = _pairs_from_index(
+        side,
+        ["typ", "key"],
+        payload_cols=("typ", "idf"),
+        config=config,
+        df_col="df",
+    )
+    is_tok = F.col("typ_a") == _TYP_TOK
+    agg = pairs.groupBy("block_key", "id_a", "id_b").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("typ_a") == _TYP_AUTHOR, F.lit(1.0))),
+            F.lit(0.0),
+        ).alias("w_coauthor"),
+        F.sum(F.when(is_tok, F.lit(1.0))).alias("_overlap"),
+        F.sum(F.when(is_tok, F.col("idf_a") * F.col("idf_b"))).alias("_dot"),
+        F.max(F.when(F.col("typ_a") == _TYP_VENUE, F.lit(1.0))).alias(
+            "_venue"
+        ),
+        F.max(F.when(F.col("typ_a") == _TYP_ORG, F.lit(1.0))).alias("_org"),
+    )
+    # per-pub idf norms re-attached on the AGGREGATED pairs — only
+    # pair rows cross these joins (index rows stay inside the one
+    # shared exchange); AQE broadcasts the norms frame when it fits
+    norms = _pub_token_norms(side)
+    agg = agg.join(
+        norms.select(
+            "block_key",
+            F.col("pub_id").alias("id_a"),
+            F.col("_n2").alias("_na2"),
+        ),
+        ["block_key", "id_a"],
+        "left",
+    ).join(
+        norms.select(
+            "block_key",
+            F.col("pub_id").alias("id_b"),
+            F.col("_n2").alias("_nb2"),
+        ),
+        ["block_key", "id_b"],
+        "left",
+    )
+    # post-agg channel gates — the exact title_edges/venue_edges
+    # per-channel semantics, applied to the conditional aggregates:
+    # the title channel only EXISTS for a pair when its token overlap
+    # clears min_title_cos_overlap (title_edges drops sub-gate pairs
+    # before the merge), so both w_title and title_cos are gated on it,
+    # and a pair whose ONLY matches are sub-gate token rows contributes
+    # no output row at all (the former union never saw it).
+    cos_gate = F.lit(float(max(1, config.min_title_cos_overlap)))
+    has_title = F.col("_overlap") >= cos_gate
+    agg = agg.where(
+        (F.col("w_coauthor") > 0)
+        | F.col("_venue").isNotNull()
+        | F.col("_org").isNotNull()
+        | has_title
+    )
+    edges = agg.select(
+        "block_key",
+        "id_a",
+        "id_b",
+        "w_coauthor",
+        F.when(
+            has_title
+            & (F.col("_overlap") >= F.lit(float(config.min_title_overlap))),
+            F.col("_overlap"),
         )
-
-    branches = [
-        shaped(ca, ("w_coauthor",)),
-        shaped(ti, ("w_title", "title_cos")),
-        shaped(ve, ("w_venue",)),
-    ]
-    # org channel only when the input actually carries an org column
-    # (e.g. the documents-as-pubs mapping has none).
-    if "org" in pubs.columns:
-        branches.append(shaped(org_edges(pubs, config), ("w_org",)))
-    edges = branches[0]
-    for b in branches[1:]:
-        edges = edges.unionByName(b)
-    edges = edges.groupBy(*keys).agg(
-        F.coalesce(F.sum("w_coauthor"), F.lit(0.0)).alias("w_coauthor"),
-        F.coalesce(F.sum("w_title"), F.lit(0.0)).alias("w_title"),
-        F.coalesce(F.max("title_cos"), F.lit(0.0)).alias("title_cos"),
-        F.coalesce(F.sum("w_venue"), F.lit(0.0)).alias("w_venue"),
-        F.coalesce(F.sum("w_org"), F.lit(0.0)).alias("w_org"),
+        .otherwise(F.lit(0.0))
+        .alias("w_title"),
+        F.when(
+            has_title & (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+            # sqrt(n2) == the former per-pub `norm` column bit-for-bit
+            F.col("_dot") / (F.sqrt("_na2") * F.sqrt("_nb2")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("title_cos"),
+        F.coalesce(F.col("_venue"), F.lit(0.0)).alias("w_venue"),
+        F.coalesce(F.col("_org"), F.lit(0.0)).alias("w_org"),
     )
     # No trailing repartition: the groupBy above already hash-partitioned
     # on (block_key,id_a,id_b) and AQE re-splits any skewed partition.

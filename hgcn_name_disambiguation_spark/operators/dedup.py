@@ -139,17 +139,21 @@ def ngram_jaccard_pairs(
     idx = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     df_counts = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
-    # rarest-first rank of each shingle within its doc
+    # rarest-first rank of each shingle within its doc; the per-doc
+    # shingle count rides the SAME doc_id window exchange (round-6: a
+    # separate groupBy + join-back paid one more agg and one more join
+    # for a value the rank window's partition already holds)
     ranked = idx.join(df_counts, "shingle")
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = ranked.withColumn("pos", F.row_number().over(w))
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    wn = _W.partitionBy("doc_id")
+    ranked = ranked.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n_sh", F.count(F.lit(1)).over(wn)
+    )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        ranked.join(sizes, "doc_id")
-        .where(F.col("pos") <= prefix_len)
+        ranked.where(F.col("pos") <= prefix_len)
         .where(F.col("df") <= max_shingle_df)
         .select("doc_id", "shingle", "n_sh")
     )
@@ -170,8 +174,21 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sets = idx.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("sh")
+    # verify sets ONLY for docs that appear in a candidate pair (guide
+    # §3.2 semi-join pre-filter): the collect_set aggregation otherwise
+    # shuffles every doc's full shingle multiset when the candidate set
+    # is tiny by construction. cands is materialized once (it feeds
+    # the id list and the verify join) — a few rows per surviving pair.
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        idx.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("shingle")).alias("sh"))
     )
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))

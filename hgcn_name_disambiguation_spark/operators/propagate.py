@@ -57,75 +57,106 @@ def feature_propagation(
     """
     fusion = fusion or _FUSION
     total = sum(fusion.values())
-    # edges is consumed twice per channel (both directions) and
-    # features once per channel — truncate their lineage ONCE so the
-    # upstream scoring subtree isn't re-executed 2 * len(fusion) times
-    # (measured 28s -> 17s for the q38 shape at sf0.1)
+    # Round-6 second pass (guide §2.4): ALL channels ride one frame —
+    # each (src, dst) edge row fans out to its positive channels via an
+    # exploded literal array (the metapath_walks device), so the whole
+    # fused propagation costs ONE degree aggregation, TWO dim joins,
+    # ONE feature join and ONE final aggregation instead of
+    # len(fusion) of each. Per-channel semantics are reproduced
+    # row-by-row: the channel id is a data column, degrees aggregate
+    # per (block, ch, src) over the same channel-filtered rows (sums
+    # of integer-valued weights — exact in any order), and the fusion
+    # weight is a per-row CASE yielding the same fw/total constant the
+    # per-channel loop folded in.
+    chs = list(fusion.keys())
+    # edges is consumed by both direction halves — truncate its
+    # lineage ONCE so the upstream scoring subtree isn't re-executed
+    # per direction (the round-5 note measured 28s -> 17s when this
+    # was 2 * len(fusion) consumers; it is 2 now)
     edges = edges.localCheckpoint(eager=False)
     feats = features.select(
         F.col("block_key").alias("_fbk"),
         F.col("pub_id").alias("_fid"),
         "token",
         F.col("w").alias("_fw"),
-    ).localCheckpoint(eager=False)
-    out = None
-    for ch, fw in fusion.items():
-        sym = None
-        for a, b in (
-            (F.col("id_a"), F.col("id_b")),
-            (F.col("id_b"), F.col("id_a")),
-        ):
-            half = edges.where(F.col(ch) > 0).select(
-                "block_key",
-                a.alias("src"),
-                b.alias("dst"),
-                F.col(ch).alias("w"),
-            )
-            sym = half if sym is None else sym.unionByName(half)
-        # degrees over REAL edges only (reference: D = rowsum(A)); the
-        # inner joins are safe — every edge endpoint has d >= w > 0,
-        # and 0-degree nodes have no edge rows at all (they enter only
-        # through the unnormalized I term below, exactly cal_gcn_matrix's
-        # D_[inf] = 0 handling).
-        deg = sym.groupBy("block_key", "src").agg(F.sum("w").alias("d"))
-        normed = (
-            sym.join(deg, ["block_key", "src"])
-            .join(
-                deg.select(
-                    "block_key",
-                    F.col("src").alias("dst"),
-                    F.col("d").alias("d_dst"),
-                ),
-                ["block_key", "dst"],
-            )
-            .select(
-                "block_key",
-                "src",
-                "dst",
-                (F.col("w") / F.sqrt(F.col("d") * F.col("d_dst"))).alias(
-                    "nw"
-                ),
-            )
-        )
-        # the I term: unit self-contribution added AFTER normalization
-        loops = pubs.select(
+    )
+    ch_entries = F.array(
+        *[
+            F.struct(F.lit(c).alias("ch"), F.col(c).alias("w"))
+            for c in chs
+        ]
+    )
+    sym = None
+    for a, b in (
+        (F.col("id_a"), F.col("id_b")),
+        (F.col("id_b"), F.col("id_a")),
+    ):
+        half = edges.select(
             "block_key",
-            F.col("pub_id").alias("src"),
-            F.col("pub_id").alias("dst"),
-            F.lit(1.0).alias("nw"),
+            a.alias("src"),
+            b.alias("dst"),
+            F.explode(
+                F.filter(ch_entries, lambda e: e.getField("w") > 0)
+            ).alias("e"),
         )
-        normed = normed.unionByName(loops)
-        contrib = normed.join(
-            feats,
-            (F.col("block_key") == F.col("_fbk"))
-            & (F.col("dst") == F.col("_fid")),
-        ).select(
+        sym = half if sym is None else sym.unionByName(half)
+    sym = sym.select(
+        "block_key",
+        F.col("e.ch").alias("ch"),
+        "src",
+        "dst",
+        F.col("e.w").alias("w"),
+    )
+    # degrees over REAL edges only (reference: D = rowsum(A)); the
+    # inner joins are safe — every edge endpoint has d >= w > 0, and
+    # 0-degree nodes have no edge rows at all (they enter only through
+    # the unnormalized I term below, exactly cal_gcn_matrix's
+    # D_[inf] = 0 handling).
+    deg = sym.groupBy("block_key", "ch", "src").agg(F.sum("w").alias("d"))
+    normed = (
+        sym.join(deg, ["block_key", "ch", "src"])
+        .join(
+            deg.select(
+                "block_key",
+                "ch",
+                F.col("src").alias("dst"),
+                F.col("d").alias("d_dst"),
+            ),
+            ["block_key", "ch", "dst"],
+        )
+        .select(
             "block_key",
-            F.col("src").alias("pub_id"),
-            "token",
-            (F.col("nw") * F.col("_fw") * F.lit(fw / total)).alias("v"),
+            "ch",
+            "src",
+            "dst",
+            (F.col("w") / F.sqrt(F.col("d") * F.col("d_dst"))).alias("nw"),
         )
-        out = contrib if out is None else out.unionByName(contrib)
-    return out.groupBy("block_key", "pub_id", "token").agg(
+    )
+    # the I term: unit self-contribution added AFTER normalization,
+    # once per channel (the per-channel loop added one per channel)
+    loops = pubs.select(
+        "block_key",
+        F.explode(F.array(*[F.lit(c) for c in chs])).alias("ch"),
+        F.col("pub_id").alias("src"),
+        F.col("pub_id").alias("dst"),
+        F.lit(1.0).alias("nw"),
+    )
+    normed = normed.unionByName(loops)
+    fw_col = F.when(
+        F.col("ch") == chs[0], F.lit(fusion[chs[0]] / total)
+    )
+    for c in chs[1:]:
+        fw_col = fw_col.when(F.col("ch") == c, F.lit(fusion[c] / total))
+    contrib = normed.join(
+        feats,
+        (F.col("block_key") == F.col("_fbk"))
+        & (F.col("dst") == F.col("_fid")),
+    ).select(
+        "block_key",
+        F.col("src").alias("pub_id"),
+        "token",
+        (F.col("nw") * F.col("_fw") * fw_col).alias("v"),
+    )
+    return contrib.groupBy("block_key", "pub_id", "token").agg(
         F.sum("v").alias("value")
     )
