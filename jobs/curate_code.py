@@ -79,11 +79,17 @@ def curate_code(
     # 1. snapshot resolution — latest_snapshot keys the winning
     # version; join back on the full key to carry lang + content
     # (broadcast never: both sides are corpus-sized; it's an equi-join
-    # on the same (repo, path) key the window just partitioned by)
+    # on the same (repo, path) key the window just partitioned by).
+    # Input contract: (repo, path, commit) uniquely identifies a file
+    # version — a dirty history export with duplicate keys and
+    # differing content keeps all duplicates here (latest_snapshot
+    # itself tie-breaks deterministically, but the join-back restores
+    # every row of the winning key).
     winners = latest_snapshot(files).select("repo", "path", "commit")
-    snap = files.join(winners, ["repo", "path", "commit"]).withColumn(
+    snapshot = files.join(winners, ["repo", "path", "commit"]).withColumn(
         "content_sha", F.sha2(F.col("content"), 256)
     ).persist()
+    snap = snapshot
     funnel.append(("snapshot", snap.count()))
 
     # 2. cross-repo exact dedup on the content sha (deterministic
@@ -119,9 +125,11 @@ def curate_code(
     funnel.append(("secret_gate", kept.count()))
 
     # 5. license report over the POST-snapshot corpus (reporting, not
-    # filtering: repos keep their files; the report is what a
-    # downstream compliance pass consumes)
-    licenses = license_composition(snap)
+    # filtering: repos keep their files — including vendored copies
+    # the cross-repo dedup later collapses, so the PRE-dedup snapshot
+    # frame is the right input; the report is what a downstream
+    # compliance pass consumes)
+    licenses = license_composition(snapshot)
     return kept, licenses, funnel
 
 
@@ -153,9 +161,11 @@ def main(argv: list[str] | None = None) -> int:
         "stages": {name: n for name, n in funnel},
         "wall_sec": round(time.time() - t0, 2),
     }
+    # .text() so the sink holds the raw JSON line itself (a .json()
+    # writer would nest it as a string inside another JSON object)
     spark.createDataFrame(
-        [(json.dumps(report),)], "report string"
-    ).coalesce(1).write.mode("overwrite").json(f"{args.output}/funnel")
+        [(json.dumps(report),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{args.output}/funnel")
     print(json.dumps(report))
     spark.stop()
     return 0
